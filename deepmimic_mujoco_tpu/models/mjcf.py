@@ -438,7 +438,24 @@ class _Builder:
         return com, hq.from_mat(R), mass, diag
 
     # ---------------- assembly ----------------------------------------
+    def _reorder_body_major(self):
+        """Renumber joints/geoms/sites body-major (stable within a body),
+        matching the engine compiler's element numbering."""
+        def sort(lst):
+            order = sorted(range(len(lst)), key=lambda i: lst[i]["bodyid"])
+            return [lst[i] for i in order]
+
+        self.joints = sort(self.joints)
+        self.geoms = sort(self.geoms)
+        self.sites = sort(self.sites)
+        for i, b in enumerate(self.bodies):
+            b["jntadr"] = [j for j, jd in enumerate(self.joints)
+                           if jd["bodyid"] == i]
+            b["geomadr"] = [g for g, gd in enumerate(self.geoms)
+                            if gd["bodyid"] == i]
+
     def _assemble(self) -> PhysicsModel:
+        self._reorder_body_major()
         nbody = len(self.bodies)
         njnt = len(self.joints)
         ngeom = len(self.geoms)

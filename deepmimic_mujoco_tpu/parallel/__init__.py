@@ -1,0 +1,3 @@
+from deepmimic_mujoco_tpu.parallel.mesh import (  # noqa: F401
+    data_sharding, make_mesh, replicated, shard_train_state,
+)

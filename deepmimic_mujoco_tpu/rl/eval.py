@@ -1,0 +1,178 @@
+"""Eval dashboard: deterministic rollout -> 2x2 figure video + CSV.
+
+Mirrors the reference's eval pipeline (reference: src/sb3_ppo.py:25-140):
+per-step panel of (actions, rendered frame, reward/value curves, obs),
+mp4 assembly, CSV episode log with reward/length plots, and best-
+checkpoint saving. The rollout itself is one jitted scan on device; only
+figure drawing is host-side. A threaded wrapper mirrors the reference's
+EvalDashboardCallbackThreaded (src/sb3_ppo.py:160-230) for training
+loops that want eval off the critical path.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
+                 idx_init: Optional[int] = 0):
+    """Deterministic episode; returns dict of stacked host arrays."""
+    env = env or ppo.env
+
+    reset = jax.jit(lambda k: env.reset(k) if idx_init is None
+                    else env.reset(k, idx_init=idx_init)
+                    if hasattr(env, "mocap_data_len") else env.reset(k))
+    step = jax.jit(env.step)
+
+    def policy(obs):
+        mean, _, value = ppo.net.apply(params, obs)
+        return mean, value
+
+    policy = jax.jit(policy)
+    state, obs = reset(jax.random.PRNGKey(seed))
+    traj = {k: [] for k in ["obs", "action", "reward", "value", "qpos",
+                            "done_reason"]}
+    ep_rew = 0.0
+    for t in range(max_steps):
+        action, value = policy(obs)
+        state, out = step(state, action)
+        ep_rew += float(out.reward)
+        traj["obs"].append(np.asarray(obs))
+        traj["action"].append(np.asarray(action))
+        traj["reward"].append(float(out.reward))
+        traj["value"].append(float(value))
+        traj["qpos"].append(np.asarray(state.qpos))
+        traj["done_reason"].append(int(out.done_reason))
+        obs = out.obs
+        if bool(out.done):
+            break
+    out = {k: np.asarray(v) for k, v in traj.items()}
+    out["ep_rew"] = ep_rew
+    out["ep_len"] = len(traj["reward"])
+    return out
+
+
+def eval_dashboard_rollout(ppo, params, n: int, run_name: str,
+                           out_dir: str = "~/deep_mimic",
+                           render: bool = True, max_steps: int = 1000,
+                           metrics_cb=None):
+    """Rollout + dashboard video + CSV + best-checkpoint, like the
+    reference's eval_dashboard_rollout."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from deepmimic_mujoco_tpu.rl import checkpoint
+    from deepmimic_mujoco_tpu.tools.render import frames_to_video, render_state
+
+    tr = eval_rollout(ppo, params, max_steps=max_steps)
+    video_dir = os.path.expanduser(os.path.join(out_dir, run_name + "_videos"))
+    os.makedirs(video_dir, exist_ok=True)
+
+    if render:
+        frames = []
+        T = tr["ep_len"]
+        rng = range(0, T, max(1, T // 240))  # bound video length
+        cum = np.cumsum(tr["reward"])
+        for i in rng:
+            frame = render_state(ppo.env.model, tr["qpos"][i],
+                                 mode="rgb_array",
+                                 overlay=f"{i:>5} {cum[i]:>8.2f}")
+            fig, ax = plt.subplots(2, 2, num="eval", figsize=(8, 6))
+            ax[0, 0].axhline(0, color="black", lw=1)
+            ax[0, 0].step(np.arange(tr["action"].shape[1]), tr["action"][i],
+                          where="mid")
+            ax[0, 0].set_title("actions")
+            ax[0, 1].imshow(frame)
+            ax[0, 1].axis("off")
+            ax[1, 0].plot(cum[:i + 1], label="ep_rew")
+            ax[1, 0].plot(tr["reward"][:i + 1], label="r")
+            ax[1, 0].plot(tr["value"][:i + 1], label="V")
+            ax[1, 0].legend(fontsize=6)
+            ax[1, 1].step(np.arange(tr["obs"].shape[1]), tr["obs"][i],
+                          where="mid")
+            ax[1, 1].set_title("obs")
+            fig.canvas.draw()
+            buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+            w, h = fig.canvas.get_width_height()
+            frames.append(buf.reshape(h, w, 4)[..., :3].copy())
+            plt.close(fig)
+        video_path = os.path.join(video_dir, f"global_step_{n}.mp4")
+        frames_to_video(frames, video_path)
+        print("Saved video to", video_path)
+
+    # CSV episode log + plots (reference: src/sb3_ppo.py:101-126)
+    log_path = os.path.join(video_dir, "log.csv")
+    if not os.path.exists(log_path):
+        with open(log_path, "w") as f:
+            f.write("global_step,ep_len,ep_rew\n")
+    with open(log_path, "a") as f:
+        f.write(f"{n},{tr['ep_len']},{tr['ep_rew']}\n")
+    log = np.loadtxt(log_path, delimiter=",", skiprows=1).reshape(-1, 3)
+    for col, name in [(2, "rew_plot.png"), (1, "len_plot.png")]:
+        fig, ax = plt.subplots(1, 1)
+        ax.plot(log[:, 0], log[:, col])
+        ax.set_xlabel("Global Step")
+        fig.savefig(os.path.join(video_dir, name))
+        plt.close(fig)
+
+    if metrics_cb is not None:
+        metrics_cb({
+            "eval_episode_length": tr["ep_len"],
+            "eval_episode_reward": tr["ep_rew"],
+            "eval_global_step": n,
+            "eval_best_episode_reward": float(log[:, 2].max()),
+        })
+
+    # best-checkpoint saving (reference: src/sb3_ppo.py:137-138)
+    if log[:, 2].max() == log[-1, 2]:
+        checkpoint.save_params(
+            os.path.join(video_dir, run_name + "_best"), params)
+    print(f"Eval: LEN {tr['ep_len']}, EP_REW {tr['ep_rew']:.2f}")
+    return tr
+
+
+class ThreadedEvaluator:
+    """Runs eval jobs on a daemon worker thread against a frozen params
+    copy (reference's EvalDashboardCallbackThreaded)."""
+
+    def __init__(self, ppo, run_name: str, out_dir: str = "~/deep_mimic",
+                 render: bool = True, metrics_cb=None):
+        self.ppo = ppo
+        self.run_name = run_name
+        self.out_dir = out_dir
+        self.render = render
+        self.metrics_cb = metrics_cb
+        self._q = queue.Queue(maxsize=1)
+        self._busy = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            params, n = self._q.get()
+            self._busy.set()
+            try:
+                eval_dashboard_rollout(self.ppo, params, n, self.run_name,
+                                       out_dir=self.out_dir,
+                                       render=self.render,
+                                       metrics_cb=self.metrics_cb)
+            except Exception as e:  # eval must never kill training
+                print("Eval worker error:", e)
+            finally:
+                self._busy.clear()
+
+    def queue_eval(self, params, n: int, wait: bool = True):
+        if wait:
+            while self._busy.is_set():
+                time.sleep(0.2)
+        frozen = jax.tree.map(lambda x: np.asarray(x), params)
+        self._q.put((frozen, n))

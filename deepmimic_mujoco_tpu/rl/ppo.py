@@ -1,0 +1,249 @@
+"""On-device PPO: rollout (lax.scan) -> GAE -> clipped update, all jit.
+
+Replaces the reference's SB3 PPO over 32 subprocess envs (reference:
+src/sb3_ppo.py:244-314 — horizon 4096, minibatch 4096, 20 epochs,
+lr 4e-4) with a single XLA program per iteration: physics, mocap
+sampling, reward, auto-reset, GAE and the policy update never leave the
+device. Multi-chip scaling shards the env batch over a
+``jax.sharding.Mesh`` data axis; XLA inserts the gradient psums.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepmimic_mujoco_tpu.rl import networks
+
+
+@dataclasses.dataclass
+class PPOConfig:
+    # reference hyperparams (src/sb3_ppo.py:253-265), env count scaled
+    # for TPU batching
+    n_envs: int = 1024
+    horizon: int = 64
+    minibatch_size: int = 4096
+    epochs: int = 20
+    lr: float = 4e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    net_arch: tuple = (256, 128)
+    total_timesteps: int = 500_000_000
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_states: Any       # vmapped DPEnvState
+    last_obs: jnp.ndarray
+    key: jnp.ndarray
+    global_step: jnp.ndarray
+    # running episode accounting (per env)
+    ep_return: jnp.ndarray
+    ep_length: jnp.ndarray
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    logp: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+class IterStats(NamedTuple):
+    mean_reward: jnp.ndarray
+    ep_return_sum: jnp.ndarray   # sum of completed episode returns
+    ep_count: jnp.ndarray
+    ep_len_sum: jnp.ndarray
+    pg_loss: jnp.ndarray
+    v_loss: jnp.ndarray
+    entropy: jnp.ndarray
+    approx_kl: jnp.ndarray
+    clip_frac: jnp.ndarray
+
+
+class PPO:
+    """Trainer bound to a functional env (DPEnv / DPCombinedEnv)."""
+
+    def __init__(self, env, cfg: Optional[PPOConfig] = None):
+        self.env = env
+        self.cfg = cfg or PPOConfig()
+        self.net = networks.ActorCritic(env.action_size,
+                                        net_arch=tuple(self.cfg.net_arch))
+        tx = optax.chain(
+            optax.clip_by_global_norm(self.cfg.max_grad_norm),
+            optax.adam(self.cfg.lr),
+        )
+        self.tx = tx
+        self._train_iter = jax.jit(self._train_iter_impl, donate_argnums=0)
+
+    # ---- initialization -------------------------------------------------
+    def init(self, seed: int = 0) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        key, pkey, rkey = jax.random.split(key, 3)
+        obs0 = jnp.zeros((self.env.obs_size,), jnp.float32)
+        params = self.net.init(pkey, obs0)
+        opt_state = self.tx.init(params)
+        reset_keys = jax.random.split(rkey, cfg.n_envs)
+        env_states, obs = jax.jit(jax.vmap(self.env.reset))(reset_keys)
+        return TrainState(
+            params=params, opt_state=opt_state, env_states=env_states,
+            last_obs=obs, key=key,
+            global_step=jnp.zeros((), jnp.int64)
+            if jax.config.jax_enable_x64 else jnp.zeros((), jnp.int32),
+            ep_return=jnp.zeros(cfg.n_envs, jnp.float32),
+            ep_length=jnp.zeros(cfg.n_envs, jnp.int32))
+
+    # ---- one training iteration (rollout + update), fully jitted --------
+    def _train_iter_impl(self, ts: TrainState):
+        cfg = self.cfg
+        net = self.net
+
+        def policy_step(carry, _):
+            env_states, obs, key, ep_ret, ep_len = carry
+            key, akey = jax.random.split(key)
+            mean, log_std, value = net.apply(ts.params, obs)
+            action, logp = networks.sample_action(akey, mean, log_std)
+            env_states, out = jax.vmap(self.env.step_auto_reset)(
+                env_states, action)
+            ep_ret = ep_ret + out.reward
+            ep_len = ep_len + 1
+            done_f = out.done.astype(jnp.float32)
+            stats = (out.reward.mean(), (ep_ret * done_f).sum(),
+                     done_f.sum(), (ep_len * out.done).sum())
+            ep_ret = jnp.where(out.done, 0.0, ep_ret)
+            ep_len = jnp.where(out.done, 0, ep_len)
+            tr = Transition(obs=obs, action=action, logp=logp, value=value,
+                            reward=out.reward, done=out.done)
+            return (env_states, out.obs, key, ep_ret, ep_len), (tr, stats)
+
+        carry0 = (ts.env_states, ts.last_obs, ts.key, ts.ep_return,
+                  ts.ep_length)
+        (env_states, last_obs, key, ep_ret, ep_len), (traj, stats) = \
+            jax.lax.scan(policy_step, carry0, None, length=cfg.horizon)
+
+        # ---- GAE (reverse scan over the horizon) ----------------------
+        _, _, last_value = net.apply(ts.params, last_obs)
+
+        def gae_step(carry, tr):
+            adv_next, value_next = carry
+            nonterminal = 1.0 - tr.done.astype(jnp.float32)
+            delta = tr.reward + cfg.gamma * value_next * nonterminal - tr.value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterminal * adv_next
+            return (adv, tr.value), adv
+
+        _, advantages = jax.lax.scan(
+            gae_step, (jnp.zeros_like(last_value), last_value), traj,
+            reverse=True)
+        returns = advantages + traj.value
+
+        # ---- flatten batch --------------------------------------------
+        B = cfg.horizon * cfg.n_envs
+        flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), traj)
+        adv_flat = advantages.reshape(B)
+        ret_flat = returns.reshape(B)
+
+        n_minibatches = max(B // cfg.minibatch_size, 1)
+
+        def loss_fn(params, mb):
+            obs, action, old_logp, old_value, adv, ret = mb
+            mean, log_std, value = net.apply(params, obs)
+            logp = networks.gaussian_logp(action, mean, log_std)
+            ratio = jnp.exp(logp - old_logp)
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+            pg1 = -adv_n * ratio
+            pg2 = -adv_n * jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps)
+            pg_loss = jnp.maximum(pg1, pg2).mean()
+            v_loss = 0.5 * ((value - ret) ** 2).mean()
+            ent = networks.gaussian_entropy(log_std).mean()
+            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            kl = ((ratio - 1) - jnp.log(ratio)).mean()
+            clipfrac = (jnp.abs(ratio - 1) > cfg.clip_eps).mean()
+            return total, (pg_loss, v_loss, ent, kl, clipfrac)
+
+        def epoch_step(carry, _):
+            params, opt_state, key = carry
+            key, pkey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, B)
+
+            def mb_step(carry, idx):
+                params, opt_state = carry
+                mb = (flat.obs[idx], flat.action[idx], flat.logp[idx],
+                      flat.value[idx], adv_flat[idx], ret_flat[idx])
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            idxs = perm[:n_minibatches * cfg.minibatch_size].reshape(
+                n_minibatches, cfg.minibatch_size)
+            (params, opt_state), aux = jax.lax.scan(
+                mb_step, (params, opt_state), idxs)
+            return (params, opt_state, key), aux
+
+        (params, opt_state, key), aux = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state, key), None,
+            length=cfg.epochs)
+        pg_loss, v_loss, ent, kl, clipfrac = jax.tree.map(
+            lambda x: x.mean(), aux)
+
+        mean_r, ep_ret_sum, ep_cnt, ep_len_sum = stats
+        new_ts = TrainState(
+            params=params, opt_state=opt_state, env_states=env_states,
+            last_obs=last_obs, key=key,
+            global_step=ts.global_step + B,
+            ep_return=ep_ret, ep_length=ep_len)
+        it_stats = IterStats(
+            mean_reward=mean_r.mean(), ep_return_sum=ep_ret_sum.sum(),
+            ep_count=ep_cnt.sum(), ep_len_sum=ep_len_sum.sum(),
+            pg_loss=pg_loss, v_loss=v_loss, entropy=ent, approx_kl=kl,
+            clip_frac=clipfrac)
+        return new_ts, it_stats
+
+    # ---- host loop -------------------------------------------------------
+    def train(self, total_timesteps: Optional[int] = None, seed: int = 0,
+              callback=None, log_every: int = 1, verbose: bool = True):
+        cfg = self.cfg
+        total = total_timesteps or cfg.total_timesteps
+        ts = self.init(seed)
+        steps_per_iter = cfg.horizon * cfg.n_envs
+        n_iters = max(total // steps_per_iter, 1)
+        t0 = time.time()
+        for it in range(n_iters):
+            ts, stats = self._train_iter(ts)
+            if callback is not None:
+                callback(it, ts, stats)
+            if verbose and (it % log_every == 0):
+                sps = (it + 1) * steps_per_iter / (time.time() - t0)
+                ep_r = (float(stats.ep_return_sum)
+                        / max(float(stats.ep_count), 1.0))
+                ep_l = (float(stats.ep_len_sum)
+                        / max(float(stats.ep_count), 1.0))
+                print(f"iter {it:5d} step {(it + 1) * steps_per_iter:>12,} "
+                      f"sps {sps:>11,.0f} r/step {float(stats.mean_reward):.3f} "
+                      f"ep_rew {ep_r:8.2f} ep_len {ep_l:7.1f} "
+                      f"kl {float(stats.approx_kl):.4f}", flush=True)
+        return ts
+
+    # ---- inference --------------------------------------------------------
+    def act(self, params, obs, deterministic: bool = True, key=None):
+        mean, log_std, value = self.net.apply(params, jnp.asarray(obs))
+        if deterministic:
+            return mean, value
+        a, _ = networks.sample_action(key, mean, log_std)
+        return a, value

@@ -1,0 +1,126 @@
+"""Training entry point: ``python -m deepmimic_mujoco_tpu.rl.train <reason>``.
+
+The TPU-native analogue of the reference's PPO trainer CLI (reference:
+src/sb3_ppo.py:244-314): run-reason guard, full config snapshot, JSONL
+metrics (wandb if available), periodic threaded eval dashboards, and
+orbax checkpoints. Instead of 32 subprocess envs it runs thousands of
+vmapped envs in one jitted iteration.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+M = 1_000_000
+
+
+def parse_reason(argv=None, required=True):
+    """Free-text run reason guard (reference: src/sb3_ppo.py:232-242)."""
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("reason", nargs="?", default="")
+    p.add_argument("--env", default="dp_combined_env",
+                   choices=["deep_mimic_mujoco", "dp_combined_env"])
+    p.add_argument("--motion", default="walk")
+    p.add_argument("--robot", default="unitree_g1")
+    p.add_argument("--n-envs", type=int, default=2048)
+    p.add_argument("--horizon", type=int, default=64)
+    p.add_argument("--minibatch", type=int, default=4096)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--total", type=int, default=500 * M)
+    p.add_argument("--eval-every", type=int, default=500_000)
+    p.add_argument("--no-wandb", action="store_true")
+    p.add_argument("--no-render", action="store_true")
+    p.add_argument("--out", default="~/deep_mimic")
+    args = p.parse_args(argv)
+    if required and not args.reason and not args.no_wandb:
+        raise ValueError("Please provide a reason for this run")
+    print("Reason:", args.reason)
+    return args
+
+
+def main(argv=None):
+    args = parse_reason(argv)
+
+    from deepmimic_mujoco_tpu.envs import DPCombinedEnv, DPEnv
+    from deepmimic_mujoco_tpu.rl import PPO, PPOConfig, checkpoint
+    from deepmimic_mujoco_tpu.rl.eval import ThreadedEvaluator
+
+    if args.env == "deep_mimic_mujoco":
+        env = DPEnv(motion=args.motion, robot=args.robot)
+    else:
+        env = DPCombinedEnv()
+
+    cfg = PPOConfig(n_envs=args.n_envs, horizon=args.horizon,
+                    minibatch_size=args.minibatch, epochs=args.epochs,
+                    lr=args.lr, total_timesteps=args.total)
+    ppo = PPO(env, cfg)
+
+    run_name = "test" + time.strftime("%Y%m%d-%H%M_%S")
+    config = {
+        "run_reason": args.reason, "policy_type": "ActorCritic",
+        "total_timesteps": args.total, "env_name": args.env,
+        "version": env.version, "env_cfg": vars(env.ENV_CFG),
+        "motion": args.motion, "robot": args.robot,
+        "arch": list(cfg.net_arch), "n_envs": cfg.n_envs,
+        "horizon": cfg.horizon, "minibatch_size": cfg.minibatch_size,
+        "learning_rate": cfg.lr, "epochs": cfg.epochs,
+        "machine_name": os.environ.get("MACHINE_NAME", "unknown"),
+    }
+
+    out_dir = os.path.expanduser(args.out)
+    os.makedirs(out_dir, exist_ok=True)
+    metrics_path = os.path.join(out_dir, run_name + "_metrics.jsonl")
+    with open(metrics_path, "w") as f:
+        f.write(json.dumps({"config": config}) + "\n")
+
+    wandb_run = None
+    if not args.no_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="deep_mimic", config=config)
+        except Exception as e:
+            print("wandb unavailable, logging to", metrics_path, f"({e})")
+
+    def log_metrics(d):
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(d) + "\n")
+        if wandb_run is not None:
+            wandb_run.log(d)
+
+    evaluator = ThreadedEvaluator(ppo, args.motion + "_" + run_name,
+                                  out_dir=args.out,
+                                  render=not args.no_render,
+                                  metrics_cb=log_metrics)
+    steps_per_iter = cfg.n_envs * cfg.horizon
+    eval_every_iters = max(args.eval_every // steps_per_iter, 1)
+
+    def callback(it, ts, stats):
+        gstep = (it + 1) * steps_per_iter
+        log_metrics({
+            "global_step": gstep,
+            "mean_reward": float(stats.mean_reward),
+            "ep_return": float(stats.ep_return_sum)
+            / max(float(stats.ep_count), 1.0),
+            "ep_length": float(stats.ep_len_sum)
+            / max(float(stats.ep_count), 1.0),
+            "pg_loss": float(stats.pg_loss), "v_loss": float(stats.v_loss),
+            "entropy": float(stats.entropy),
+            "approx_kl": float(stats.approx_kl),
+        })
+        if it % eval_every_iters == 0:
+            evaluator.queue_eval(ts.params, gstep)
+
+    print("Begin Learn")
+    print("-----------")
+    ts = ppo.train(total_timesteps=args.total, callback=callback)
+    path = checkpoint.save(os.path.join(out_dir, run_name), ts)
+    print("Saved final checkpoint to", path)
+    return ts
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Behavioral checks of the full contact step (Euler path).
+
+The solver's friction cone differs from the oracle's pyramidal PGS by
+design, so contact-rich motion is validated behaviorally: resting
+stability, no floor penetration blow-ups, free-fall correctness.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.models import assets, load_model
+from deepmimic_mujoco_tpu.models.physics_model import EULER
+from deepmimic_mujoco_tpu.physics.step import Engine
+
+
+@pytest.fixture(scope="module")
+def g1():
+    m = load_model(assets.xml_path("unitree_g1"))
+    return m, Engine(m, integrator=EULER)
+
+
+@pytest.fixture(scope="module")
+def humanoid():
+    m = load_model(assets.xml_path("humanoid3d"))
+    return m, Engine(m, integrator=EULER)
+
+
+def rollout(eng, m, qpos0, steps, ctrl=None):
+    if ctrl is None:
+        ctrl = jnp.zeros(m.nu, jnp.float32)
+    step = jax.jit(lambda q, v: eng.step(q, v, ctrl)[:2])
+    q = jnp.asarray(qpos0, jnp.float32)
+    v = jnp.zeros(m.nv, jnp.float32)
+    traj = [np.asarray(q)]
+    for _ in range(steps):
+        q, v = step(q, v)
+        traj.append(np.asarray(q))
+    return np.stack(traj), np.asarray(v)
+
+
+def test_g1_stand_keyframe_is_stable(g1):
+    """From the 'stand' keyframe with zero torque, the G1 should stay
+    upright for 60 steps (1 s): damping + foot contacts hold it."""
+    m, eng = g1
+    qpos0 = m.key_qpos[0]
+    traj, v = rollout(eng, m, qpos0, 60)
+    assert np.isfinite(traj).all()
+    z = traj[:, 2]
+    assert z.min() > 0.55, f"G1 collapsed: min root z {z.min()}"
+    assert z.max() < 0.95, f"G1 launched: max root z {z.max()}"
+    assert np.abs(v).max() < 10.0
+
+
+def test_humanoid_rests_on_floor_no_tunnel(humanoid):
+    """Dropped slightly above the floor with zero torque, the humanoid
+    falls but never tunnels through the floor or explodes."""
+    m, eng = humanoid
+    qpos0 = np.zeros(m.nq)
+    qpos0[2] = 1.0
+    qpos0[3] = 1.0
+    traj, v = rollout(eng, m, qpos0, 90)
+    assert np.isfinite(traj).all()
+    assert traj[:, 2].min() > 0.0, "root passed through the floor"
+    assert np.abs(v).max() < 50.0, "velocities exploded on contact"
+
+
+def test_free_fall_gravity(humanoid):
+    m, eng = humanoid
+    qpos0 = np.zeros(m.nq)
+    qpos0[2] = 50.0
+    qpos0[3] = 1.0
+    dt = m.opt.timestep
+    steps = 30
+    traj, v = rollout(eng, m, qpos0, steps)
+    t = steps * dt
+    # root z follows -g t^2 / 2 (semi-implicit euler slightly ahead)
+    expect = 50.0 - 9.81 * t * t / 2
+    assert abs(traj[-1, 2] - expect) < 0.05
+    assert abs(v[2] + 9.81 * t) < 0.05
+
+
+def test_ctrl_clipping(humanoid):
+    """ctrlrange +-2 must clip: insane actions don't explode."""
+    m, eng = humanoid
+    qpos0 = np.zeros(m.nq)
+    qpos0[2] = 0.9
+    qpos0[3] = 1.0
+    ctrl = jnp.full((m.nu,), 1e6, jnp.float32)
+    traj, v = rollout(eng, m, qpos0, 30, ctrl=ctrl)
+    assert np.isfinite(traj).all()
+    assert np.abs(v).max() < 200.0
