@@ -205,10 +205,11 @@ class DPCombinedEnv:
         cfg = self.ENV_CFG
         if force_state is not None:
             qpos, qvel = force_state
+            data = self._kinematic_data(qpos, qvel)
         else:
+            # stale-field semantics: see dp_env.step
             ctrl = self._mujoco_action(action)
-            qpos, qvel, _ = self.engine.step(state.qpos, state.qvel, ctrl)
-        data = self._kinematic_data(qpos, qvel)
+            qpos, qvel, data = self.engine.step(state.qpos, state.qvel, ctrl)
 
         motion_id = state.motion_id
         n_steps = state.n_steps

@@ -163,12 +163,17 @@ class DPEnv:
              force_state=None) -> Tuple[DPEnvState, StepOut]:
         m = self.model
         if force_state is not None:
+            # bypass dynamics: fields are FRESH at the forced state,
+            # like the reference's set_state + forward
             qpos, qvel = force_state
             data = self._kinematic_data(qpos, qvel)
         else:
+            # derived fields (FK, contacts, cvel, forces) come from the
+            # step's own forward pass at the PRE-integration state —
+            # exactly the reference's post-``mj_step`` staleness
+            # semantics, and it saves a second FK+collision per step
             ctrl = self._mujoco_action(action)
-            qpos, qvel, _ = self.engine.step(state.qpos, state.qvel, ctrl)
-            data = self._kinematic_data(qpos, qvel)
+            qpos, qvel, data = self.engine.step(state.qpos, state.qvel, ctrl)
 
         obs = self._obs(data, qpos, qvel, state.idx_curr)
 

@@ -1,29 +1,32 @@
 """Collision detection: static pair tables -> fixed-size contact set.
 
 TPU-first design: the candidate pair list is enumerated at model-build
-time (reference engine does broadphase per step; with <100 bodies the
+time (the reference engine does broadphase per step; with <100 bodies a
 static table is cheaper and keeps all shapes compile-time constant).
-Narrow-phase runs vectorized per pair-type group, producing a
-fixed-slot contact buffer; the solver consumes the top-K deepest slots
-(all active contacts are kept whenever #active <= K).
+Narrow-phase runs vectorized per pair-type group over UNIQUE pairs;
+each group emits (npair, nslot) contact slots which are concatenated in
+a fixed group-major order — no runtime scatters. The solver consumes
+the top-K deepest slots (all active contacts are kept whenever
+#active <= K).
 
-Replaces the native engine collision pipeline the reference invokes
-inside ``sim.step`` (reference: src/deepmimic_env.py:362, engine
-options ``nconmax=200`` at deepmimic_unitree_g1.xml:10). Mesh geoms
-collide via their hull-vertex sets against planes (near-exact) and via
-PCA capsule proxies against everything else.
+Replaces the native-engine collision pipeline the reference invokes
+inside ``sim.step`` (reference: src/deepmimic_env.py:362, engine option
+``nconmax=200`` at deepmimic_unitree_g1.xml:10). Mesh geoms collide via
+their hull-vertex sets against planes (near-exact) and via PCA capsule
+proxies against everything else.
 
 Supported exactly: plane-{sphere, capsule, box, mesh}, sphere-sphere,
 sphere-capsule, capsule-capsule, sphere-box (point-box), capsule-box
-(segment-box), box-box (corner sampling, 4 deepest). Cylinders collide
-as capsules of equal radius/half-length (slightly conservative caps).
+(segment-box sampling), box-box (corner sampling, 4 deepest). Cylinders
+collide as capsules of equal radius/half-length (conservative caps).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Dict, List, NamedTuple
 
 import numpy as np
 
+import jax.lax
 import jax.numpy as jnp
 
 from deepmimic_mujoco_tpu.models.physics_model import (
@@ -32,6 +35,16 @@ from deepmimic_mujoco_tpu.models.physics_model import (
 from deepmimic_mujoco_tpu.physics.kinematics import Kin
 
 _BIG = 1e4  # "far away" distance for empty slots
+
+# narrow-phase group ids
+K_PLANE_SPHERE, K_PLANE_CAPSULE, K_PLANE_BOX, K_PLANE_MESH = 0, 1, 2, 3
+K_SPHERE_SPHERE, K_SPHERE_CAPSULE, K_CAPSULE_CAPSULE = 4, 5, 6
+K_SPHERE_BOX, K_CAPSULE_BOX, K_BOX_BOX = 7, 8, 9
+
+_SLOTS = {K_PLANE_SPHERE: 1, K_PLANE_CAPSULE: 2, K_PLANE_BOX: 4,
+          K_PLANE_MESH: 4, K_SPHERE_SPHERE: 1, K_SPHERE_CAPSULE: 1,
+          K_CAPSULE_CAPSULE: 1, K_SPHERE_BOX: 1, K_CAPSULE_BOX: 1,
+          K_BOX_BOX: 4}
 
 
 class Contacts(NamedTuple):
@@ -48,63 +61,34 @@ class Contacts(NamedTuple):
     condim: jnp.ndarray    # (ncon,) int32 (static per slot)
 
 
-class _PairTables(NamedTuple):
-    """Host-side static slot tables (one row per contact SLOT)."""
-    kind: np.ndarray       # narrow-phase group id
-    g1: np.ndarray
+class PairGroup(NamedTuple):
+    """Unique pairs of one narrow-phase kind (host-side, static)."""
+    kind: int
+    g1: np.ndarray         # (npair,)
     g2: np.ndarray
-    sub: np.ndarray        # slot index within the pair (0..3)
+    # per-SLOT metadata, flattened (npair * nslot,)
     margin: np.ndarray
-    friction: np.ndarray   # (n, 3)
+    friction: np.ndarray
     solref: np.ndarray
     solimp: np.ndarray
     condim: np.ndarray
-
-
-# narrow-phase group ids
-K_PLANE_SPHERE, K_PLANE_CAPSULE, K_PLANE_BOX, K_PLANE_MESH = 0, 1, 2, 3
-K_SPHERE_SPHERE, K_SPHERE_CAPSULE, K_CAPSULE_CAPSULE = 4, 5, 6
-K_SPHERE_BOX, K_CAPSULE_BOX, K_BOX_BOX = 7, 8, 9
-
-_SLOTS = {K_PLANE_SPHERE: 1, K_PLANE_CAPSULE: 2, K_PLANE_BOX: 4,
-          K_PLANE_MESH: 4, K_SPHERE_SPHERE: 1, K_SPHERE_CAPSULE: 1,
-          K_CAPSULE_CAPSULE: 1, K_SPHERE_BOX: 1, K_CAPSULE_BOX: 1,
-          K_BOX_BOX: 4}
+    # distance offset per slot: mesh proxy capsules are fatter than the
+    # true hulls, so pairs that falsely overlap at a reference pose get
+    # their rest overlap subtracted (see calibrate_proxy_gaps)
+    gap: np.ndarray
+    is_proxy: np.ndarray   # (npair,) bool: either geom collides via proxy
 
 
 def _as_capsule_kind(t: int) -> int:
-    """Effective type for narrow-phase dispatch."""
-    if t == CYLINDER:
-        return CAPSULE
-    return t
+    return CAPSULE if t == CYLINDER else t
 
 
-def build_pair_tables(m: PhysicsModel) -> _PairTables:
-    """Classify candidate pairs into narrow-phase groups + slots."""
-    rows = {k: [] for k in _PairTables._fields}
-
-    def emit(kind, g1, g2, nslot):
-        a, b = m.geom_type[g1], m.geom_type[g2]
-        margin = max(m.geom_margin[g1], m.geom_margin[g2])
-        friction = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
-        solref = (m.geom_solref[g1] + m.geom_solref[g2]) / 2.0
-        solimp = (m.geom_solimp[g1] + m.geom_solimp[g2]) / 2.0
-        condim = max(m.geom_condim[g1], m.geom_condim[g2])
-        for s in range(nslot):
-            rows["kind"].append(kind)
-            rows["g1"].append(g1)
-            rows["g2"].append(g2)
-            rows["sub"].append(s)
-            rows["margin"].append(margin)
-            rows["friction"].append(friction)
-            rows["solref"].append(solref)
-            rows["solimp"].append(solimp)
-            rows["condim"].append(condim)
-
+def build_pair_tables(m: PhysicsModel) -> List[PairGroup]:
+    """Classify candidate pairs into narrow-phase groups."""
+    groups: Dict[int, dict] = {}
     for g1, g2 in zip(m.pair_geom1, m.pair_geom2):
         t1 = _as_capsule_kind(int(m.geom_type[g1]))
         t2 = _as_capsule_kind(int(m.geom_type[g2]))
-        # order: plane first, then by type value
         if t2 == PLANE or (t1 != PLANE and t1 > t2):
             g1, g2, t1, t2 = g2, g1, t2, t1
         key = (t1, t2)
@@ -127,23 +111,81 @@ def build_pair_tables(m: PhysicsModel) -> _PairTables:
             if key == (BOX, MESH):
                 g1, g2 = g2, g1  # capsule(proxy) first, box second
         if kind is None:
-            continue  # unsupported combination: skip (logged at build)
-        emit(kind, int(g1), int(g2), _SLOTS[kind])
+            continue
+        grp = groups.setdefault(kind, {k: [] for k in (
+            "g1", "g2", "margin", "friction", "solref", "solimp", "condim")})
+        grp["g1"].append(int(g1))
+        grp["g2"].append(int(g2))
+        grp["margin"].append(max(m.geom_margin[g1], m.geom_margin[g2]))
+        grp["friction"].append(
+            np.maximum(m.geom_friction[g1], m.geom_friction[g2]))
+        grp["solref"].append((m.geom_solref[g1] + m.geom_solref[g2]) / 2.0)
+        grp["solimp"].append((m.geom_solimp[g1] + m.geom_solimp[g2]) / 2.0)
+        grp["condim"].append(max(m.geom_condim[g1], m.geom_condim[g2]))
 
-    return _PairTables(**{k: np.asarray(v) for k, v in rows.items()})
+    out = []
+    for kind in sorted(groups):
+        g = groups[kind]
+        ns = _SLOTS[kind]
+        rep = lambda a: np.repeat(np.asarray(a), ns, axis=0)
+        g1a, g2a = np.asarray(g["g1"]), np.asarray(g["g2"])
+        is_proxy = np.array(
+            [kind != K_PLANE_MESH
+             and (m.geom_meshid[a] >= 0 or m.geom_meshid[b] >= 0)
+             for a, b in zip(g1a, g2a)], dtype=bool)
+        out.append(PairGroup(
+            kind=kind, g1=g1a, g2=g2a,
+            margin=rep(g["margin"]), friction=rep(g["friction"]),
+            solref=rep(g["solref"]), solimp=rep(g["solimp"]),
+            condim=rep(g["condim"]).astype(np.int32),
+            gap=np.zeros(len(g1a) * ns), is_proxy=is_proxy))
+    return out
 
 
-# ---------------- geometry helpers (jnp, batched over slots) ----------
+def calibrate_proxy_gaps(m: PhysicsModel, tables: List[PairGroup],
+                         calib_qpos: np.ndarray) -> List[PairGroup]:
+    """Zero out false rest-pose overlaps of mesh proxy capsules.
+
+    Runs the narrow phase once at a reference pose (keyframe if the
+    model has one) and, for proxy-involved slots that report
+    penetration there, subtracts that rest overlap from all future
+    distances — the oracle's true hulls do not touch at the reference
+    pose, so neither should we (verified against oracle contacts at the
+    G1 stand keyframe).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.physics.kinematics import fwd_kinematics
+
+    kin = jax.jit(lambda q: fwd_kinematics(m, q))(
+        jnp.asarray(calib_qpos, jnp.float32))
+    out = []
+    for grp in tables:
+        if not grp.is_proxy.any():
+            out.append(grp)
+            continue
+        d, _, _ = _narrow(m, kin, grp)
+        d = np.asarray(d, np.float64)
+        ns = _SLOTS[grp.kind]
+        proxy_slot = np.repeat(grp.is_proxy, ns)
+        gap = np.where(proxy_slot, np.minimum(d - grp.margin, 0.0), 0.0)
+        out.append(grp._replace(gap=gap))
+    return out
+
+
+def total_slots(tables: List[PairGroup]) -> int:
+    return sum(len(t.g1) * _SLOTS[t.kind] for t in tables)
+
+
+# ---------------- geometry helpers (jnp, batched over pairs) ----------
 
 def _mesh_capsule_world(m, gids, kin: Kin):
-    """World-frame (p0, p1, radius) proxy capsule segment for geoms that
-    may be meshes; falls back to the geom's own size for primitives."""
+    """World (p0, p1, radius) capsule segment; mesh geoms use their PCA
+    proxy, primitives their own size."""
     pos = kin.geom_xpos[gids]
     mat = kin.geom_xmat[gids]
-    half = []
-    rad = []
-    off = []
-    qax = []
+    rad, half, off, qax = [], [], [], []
     for g in np.asarray(gids):
         mid = int(m.geom_meshid[g])
         if mid >= 0:
@@ -181,14 +223,12 @@ def _make_frame(n):
 
 
 def _plane_frame(kin, g1):
-    """Plane normal (world z of geom frame) and a point on the plane."""
     n = kin.geom_xmat[g1][..., :, 2]
     p = kin.geom_xpos[g1]
     return n, p
 
 
 def _seg_seg_closest(p1, q1, p2, q2):
-    """Closest points between segments [p1,q1], [p2,q2] (batched)."""
     d1 = q1 - p1
     d2 = q2 - p2
     r = p1 - p2
@@ -202,117 +242,117 @@ def _seg_seg_closest(p1, q1, p2, q2):
     s = jnp.clip(s, 0.0, 1.0)
     t = jnp.where(e > 1e-12, (b * s + f) / jnp.maximum(e, 1e-12), 0.0)
     t = jnp.clip(t, 0.0, 1.0)
-    s = jnp.where(a > 1e-12, jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), 0.0)
-    c1 = p1 + d1 * s[..., None]
-    c2 = p2 + d2 * t[..., None]
-    return c1, c2
+    s = jnp.where(a > 1e-12,
+                  jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), 0.0)
+    return p1 + d1 * s[..., None], p2 + d2 * t[..., None]
+
+
+def _one_hot(idx, n, dtype):
+    return (idx[..., None] == jnp.arange(n)).astype(dtype)
 
 
 def _point_box_closest(p_local, size):
-    """Closest point on a box (half-extents ``size``) to p (box frame).
-    Returns (closest_local, signed distance to surface)."""
+    """Closest surface point + signed distance, box frame (batched).
+
+    Selection is one-hot/where arithmetic — dynamic gathers
+    (take_along_axis) lower to slow scatter/gather fusions on TPU.
+    """
     clamped = jnp.clip(p_local, -size, size)
     outside = jnp.linalg.norm(p_local - clamped, axis=-1)
-    # inside: distance to nearest face (negative)
     face_d = size - jnp.abs(p_local)
-    inside = -jnp.min(face_d, axis=-1)
+    dmin = jnp.min(face_d, axis=-1)
+    inside = -dmin
     is_out = outside > 1e-12
-    # inside: project to nearest face
-    ax = jnp.argmin(face_d, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(p_local, ax[..., None], -1))[..., 0]
-    sign = jnp.where(sign == 0, 1.0, sign)
-    proj = p_local
-    onehot = jax_one_hot(ax, 3, p_local.dtype)
-    proj = p_local * (1 - onehot) + (sign * jnp.take_along_axis(size, ax[..., None], -1)[..., 0])[..., None] * onehot
+    onehot = (face_d == dmin[..., None]).astype(p_local.dtype)
+    onehot = onehot / jnp.maximum(onehot.sum(-1, keepdims=True), 1.0)
+    sign = jnp.where(p_local >= 0, 1.0, -1.0)
+    proj = p_local * (1 - onehot) + sign * size * onehot
     closest = jnp.where(is_out[..., None], clamped, proj)
     dist = jnp.where(is_out, outside, inside)
     return closest, dist
 
 
-def jax_one_hot(idx, n, dtype):
-    return (idx[..., None] == jnp.arange(n)).astype(dtype)
+def _smallest_k(vals, pts, k):
+    """(n, m) values + (n, m, 3) points -> k smallest per row.
+
+    Selection via one-hot einsum instead of take_along_axis: dynamic
+    gathers lower to slow fusions on TPU, one-hot contractions don't.
+    """
+    m_dim = vals.shape[-1]
+    idx = jnp.argsort(vals, axis=-1)[..., :k]
+    sel = (idx[..., None] == jnp.arange(m_dim)).astype(vals.dtype)
+    d = jnp.einsum("nkm,nm->nk", sel, vals)
+    p = jnp.einsum("nkm,nmd->nkd", sel, pts)
+    return d, p
 
 
-# ---------------- main entry ------------------------------------------
+def _argmin_pick(vals, *arrays):
+    """Select arrays at the per-row argmin of vals via one-hot sums."""
+    dmin = jnp.min(vals, axis=-1)
+    onehot = (vals == dmin[..., None]).astype(vals.dtype)
+    onehot = onehot / jnp.maximum(onehot.sum(-1, keepdims=True), 1.0)
+    outs = []
+    for a in arrays:
+        if a.ndim == vals.ndim:
+            outs.append((a * onehot).sum(-1))
+        else:
+            outs.append((a * onehot[..., None]).sum(-2))
+    return (dmin, *outs)
 
-def collide(m: PhysicsModel, tables: _PairTables, kin: Kin,
-            max_contacts: int) -> Contacts:
-    """Narrow phase over all slots, then top-K deepest selection."""
+
+# ---------------- narrow phase per group (unique pairs) ----------------
+
+def _narrow(m, kin, grp: PairGroup):
+    """Returns (dist, pos, normal) each (npair*nslot, ...)."""
     dtype = kin.xpos.dtype
-    n = len(tables.kind)
-    dist = jnp.full((n,), _BIG, dtype)
-    pos = jnp.zeros((n, 3), dtype)
-    normal = jnp.zeros((n, 3), dtype).at[:, 2].set(1.0)
+    g1 = grp.g1
+    g2 = grp.g2
+    kind = grp.kind
 
-    def setg(sel, d, p, nrm):
-        nonlocal dist, pos, normal
-        idx = jnp.asarray(np.where(sel)[0])
-        dist = dist.at[idx].set(d)
-        pos = pos.at[idx].set(p)
-        normal = normal.at[idx].set(nrm)
-
-    kind = tables.kind
-    g1_all, g2_all, sub_all = tables.g1, tables.g2, tables.sub
-
-    # ---- plane-sphere -------------------------------------------------
-    sel = kind == K_PLANE_SPHERE
-    if sel.any():
-        g1, g2 = g1_all[sel], g2_all[sel]
+    if kind == K_PLANE_SPHERE:
         pn, pp = _plane_frame(kin, g1)
         c = kin.geom_xpos[g2]
         r = jnp.asarray(m.geom_size[g2, 0], dtype)
         h = jnp.sum((c - pp) * pn, -1)
         d = h - r
         cp = c - pn * (r + d / 2)[:, None]
-        setg(sel, d, cp, pn)
+        return d, cp, pn
 
-    # ---- plane-capsule (2 end-cap slots) ------------------------------
-    sel = kind == K_PLANE_CAPSULE
-    if sel.any():
-        g1, g2, sub = g1_all[sel], g2_all[sel], sub_all[sel]
+    if kind == K_PLANE_CAPSULE:
         pn, pp = _plane_frame(kin, g1)
         mat = kin.geom_xmat[g2]
         c = kin.geom_xpos[g2]
         axis = mat[..., :, 2]
         r = jnp.asarray(m.geom_size[g2, 0], dtype)
         hl = jnp.asarray(m.geom_size[g2, 1], dtype)
-        side = jnp.asarray(np.where(sub == 0, 1.0, -1.0), dtype)
-        e = c + axis * (side * hl)[:, None]
-        h = jnp.sum((e - pp) * pn, -1)
-        d = h - r
-        cp = e - pn * (r + d / 2)[:, None]
-        setg(sel, d, cp, pn)
+        ends = jnp.stack([c + axis * hl[:, None], c - axis * hl[:, None]], 1)
+        h = jnp.sum((ends - pp[:, None]) * pn[:, None], -1)  # (n, 2)
+        d = h - r[:, None]
+        cp = ends - pn[:, None] * (r[:, None] + d / 2)[..., None]
+        nrm = jnp.repeat(pn[:, None], 2, 1)
+        return d.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
 
-    # ---- plane-box (4 deepest corners) --------------------------------
-    sel = kind == K_PLANE_BOX
-    if sel.any():
-        g1, g2, sub = g1_all[sel], g2_all[sel], sub_all[sel]
+    if kind == K_PLANE_BOX:
         pn, pp = _plane_frame(kin, g1)
         mat = kin.geom_xmat[g2]
         c = kin.geom_xpos[g2]
         size = jnp.asarray(m.geom_size[g2], dtype)
         corners = jnp.asarray(
             np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
-                      for sz in (-1, 1)]), dtype)  # (8, 3)
+                      for sz in (-1, 1)]), dtype)
         pts = c[:, None] + jnp.einsum("nij,kj,nj->nki", mat, corners, size)
         h = jnp.sum((pts - pp[:, None]) * pn[:, None], -1)  # (n, 8)
-        order = jnp.argsort(h, axis=1)
-        pick = jnp.take_along_axis(order, jnp.asarray(sub)[:, None], 1)[:, 0]
-        d = jnp.take_along_axis(h, pick[:, None], 1)[:, 0]
-        cp = jnp.take_along_axis(pts, pick[:, None, None].repeat(3, -1), 1)[:, 0]
-        cp = cp - pn * (d / 2)[:, None]
-        setg(sel, d, cp, pn)
+        d4, p4 = _smallest_k(h, pts, 4)
+        cp = p4 - pn[:, None] * (d4 / 2)[..., None]
+        nrm = jnp.repeat(pn[:, None], 4, 1)
+        return d4.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
 
-    # ---- plane-mesh (4 deepest hull verts) ----------------------------
-    sel = kind == K_PLANE_MESH
-    if sel.any():
-        g1, g2, sub = g1_all[sel], g2_all[sel], sub_all[sel]
+    if kind == K_PLANE_MESH:
         pn, pp = _plane_frame(kin, g1)
         mat = kin.geom_xmat[g2]
         c = kin.geom_xpos[g2]
-        # pad all vert sets to a common K (host-side)
         Kv = max(len(m.meshes[int(m.geom_meshid[g])].verts)
-                 for g in np.unique(np.asarray(g2)))
+                 for g in np.asarray(g2))
         verts = np.zeros((len(np.asarray(g2)), Kv, 3))
         for i, g in enumerate(np.asarray(g2)):
             v = m.meshes[int(m.geom_meshid[g])].verts
@@ -321,17 +361,12 @@ def collide(m: PhysicsModel, tables: _PairTables, kin: Kin,
         verts = jnp.asarray(verts, dtype)
         pts = c[:, None] + jnp.einsum("nij,nkj->nki", mat, verts)
         h = jnp.sum((pts - pp[:, None]) * pn[:, None], -1)
-        order = jnp.argsort(h, axis=1)
-        pick = jnp.take_along_axis(order, jnp.asarray(sub)[:, None], 1)[:, 0]
-        d = jnp.take_along_axis(h, pick[:, None], 1)[:, 0]
-        cp = jnp.take_along_axis(pts, pick[:, None, None].repeat(3, -1), 1)[:, 0]
-        cp = cp - pn * (d / 2)[:, None]
-        setg(sel, d, cp, pn)
+        d4, p4 = _smallest_k(h, pts, 4)
+        cp = p4 - pn[:, None] * (d4 / 2)[..., None]
+        nrm = jnp.repeat(pn[:, None], 4, 1)
+        return d4.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
 
-    # ---- sphere-sphere -------------------------------------------------
-    sel = kind == K_SPHERE_SPHERE
-    if sel.any():
-        g1, g2 = g1_all[sel], g2_all[sel]
+    if kind == K_SPHERE_SPHERE:
         c1, c2 = kin.geom_xpos[g1], kin.geom_xpos[g2]
         r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
         r2 = jnp.asarray(m.geom_size[g2, 0], dtype)
@@ -340,27 +375,21 @@ def collide(m: PhysicsModel, tables: _PairTables, kin: Kin,
         nrm = dvec / jnp.maximum(L, 1e-9)[:, None]
         d = L - (r1 + r2)
         cp = c1 + nrm * (r1 + d / 2)[:, None]
-        setg(sel, d, cp, nrm)
+        return d, cp, nrm
 
-    # ---- sphere-capsule (capsule may be a mesh proxy) ------------------
-    sel = kind == K_SPHERE_CAPSULE
-    if sel.any():
-        g1, g2 = g1_all[sel], g2_all[sel]
+    if kind == K_SPHERE_CAPSULE:
         c1 = kin.geom_xpos[g1]
         r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
         p0, p1, r2 = _mesh_capsule_world(m, g2, kin)
-        c2a, c2b = _seg_seg_closest(c1, c1, p0, p1)
-        dvec = c2b - c1
+        _, cb = _seg_seg_closest(c1, c1, p0, p1)
+        dvec = cb - c1
         L = jnp.linalg.norm(dvec, axis=-1)
         nrm = dvec / jnp.maximum(L, 1e-9)[:, None]
         d = L - (r1 + r2)
         cp = c1 + nrm * (r1 + d / 2)[:, None]
-        setg(sel, d, cp, nrm)
+        return d, cp, nrm
 
-    # ---- capsule-capsule (either may be a mesh proxy) -------------------
-    sel = kind == K_CAPSULE_CAPSULE
-    if sel.any():
-        g1, g2 = g1_all[sel], g2_all[sel]
+    if kind == K_CAPSULE_CAPSULE:
         p0a, p1a, ra = _mesh_capsule_world(m, g1, kin)
         p0b, p1b, rb = _mesh_capsule_world(m, g2, kin)
         ca, cb = _seg_seg_closest(p0a, p1a, p0b, p1b)
@@ -369,60 +398,46 @@ def collide(m: PhysicsModel, tables: _PairTables, kin: Kin,
         nrm = dvec / jnp.maximum(L, 1e-9)[:, None]
         d = L - (ra + rb)
         cp = ca + nrm * (ra + d / 2)[:, None]
-        setg(sel, d, cp, nrm)
+        return d, cp, nrm
 
-    # ---- sphere-box ------------------------------------------------------
-    sel = kind == K_SPHERE_BOX
-    if sel.any():
-        g1, g2 = g1_all[sel], g2_all[sel]
+    if kind == K_SPHERE_BOX:
         c1 = kin.geom_xpos[g1]
         r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
         mat = kin.geom_xmat[g2]
         cb = kin.geom_xpos[g2]
         size = jnp.asarray(m.geom_size[g2], dtype)
-        pl = jnp.einsum("nji,nj->ni", mat, c1 - cb)  # world->box frame
+        pl = jnp.einsum("nji,nj->ni", mat, c1 - cb)
         closest, dsurf = _point_box_closest(pl, size)
         cw = cb + jnp.einsum("nij,nj->ni", mat, closest)
         dvec = cw - c1
-        nrm = dvec / jnp.maximum(jnp.linalg.norm(dvec, -1, keepdims=True)
-                                 if False else
-                                 jnp.linalg.norm(dvec, axis=-1, keepdims=True),
-                                 1e-9)
+        nrm = dvec / jnp.maximum(
+            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
         nrm = jnp.where((dsurf < 0)[:, None], -nrm, nrm)
         d = dsurf - r1
         cp = cw - nrm * (d / 2)[:, None]
-        setg(sel, d, cp, nrm)
+        return d, cp, nrm
 
-    # ---- capsule-box (segment-box closest) --------------------------------
-    sel = kind == K_CAPSULE_BOX
-    if sel.any():
-        g1, g2 = g1_all[sel], g2_all[sel]
+    if kind == K_CAPSULE_BOX:
         p0, p1, rc = _mesh_capsule_world(m, g1, kin)
         mat = kin.geom_xmat[g2]
         cb = kin.geom_xpos[g2]
         size = jnp.asarray(m.geom_size[g2], dtype)
-        # sample S points along the segment, take deepest point-box
         S = 8
         ts = jnp.linspace(0.0, 1.0, S)
         pts = p0[:, None] + (p1 - p0)[:, None] * ts[None, :, None]
         pl = jnp.einsum("nji,nkj->nki", mat, pts - cb[:, None])
         closest, dsurf = _point_box_closest(pl, size[:, None].repeat(S, 1))
-        best = jnp.argmin(dsurf, axis=1)
-        pbest = jnp.take_along_axis(pts, best[:, None, None].repeat(3, -1), 1)[:, 0]
-        clbest = jnp.take_along_axis(closest, best[:, None, None].repeat(3, -1), 1)[:, 0]
-        dbest = jnp.take_along_axis(dsurf, best[:, None], 1)[:, 0]
+        dbest, pbest, clbest = _argmin_pick(dsurf, pts, closest)
         cw = cb + jnp.einsum("nij,nj->ni", mat, clbest)
         dvec = cw - pbest
-        nrm = dvec / jnp.maximum(jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
+        nrm = dvec / jnp.maximum(
+            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
         nrm = jnp.where((dbest < 0)[:, None], -nrm, nrm)
         d = dbest - rc
         cp = cw - nrm * (d / 2)[:, None]
-        setg(sel, d, cp, nrm)
+        return d, cp, nrm
 
-    # ---- box-box (corner sampling, 4 deepest of 16) -----------------------
-    sel = kind == K_BOX_BOX
-    if sel.any():
-        g1, g2, sub = g1_all[sel], g2_all[sel], sub_all[sel]
+    if kind == K_BOX_BOX:
         corners = jnp.asarray(
             np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                       for sz in (-1, 1)]), dtype)
@@ -443,49 +458,75 @@ def collide(m: PhysicsModel, tables: _PairTables, kin: Kin,
         allp = jnp.concatenate([ptsA, ptsB], 1)
         allc = jnp.concatenate([cwA, cwB], 1)
         alld = jnp.concatenate([dA, dB], 1)
-        flip = jnp.concatenate([jnp.ones((ptsA.shape[0], 8)),
-                                -jnp.ones((ptsB.shape[0], 8))], 1)
-        order = jnp.argsort(alld, axis=1)
-        pick = jnp.take_along_axis(order, jnp.asarray(sub)[:, None], 1)[:, 0]
-        d = jnp.take_along_axis(alld, pick[:, None], 1)[:, 0]
-        pb = jnp.take_along_axis(allp, pick[:, None, None].repeat(3, -1), 1)[:, 0]
-        cb2 = jnp.take_along_axis(allc, pick[:, None, None].repeat(3, -1), 1)[:, 0]
-        fl = jnp.take_along_axis(flip, pick[:, None], 1)[:, 0]
-        dvec = (cb2 - pb) * fl[:, None]
-        nrm = dvec / jnp.maximum(jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
-        nrm = jnp.where((d < 0)[:, None], -nrm, nrm)
-        cp = (pb + cb2) / 2
-        setg(sel, d, cp, nrm)
+        flip = jnp.concatenate([jnp.ones_like(dA), -jnp.ones_like(dB)], 1)
+        idx = jnp.argsort(alld, axis=-1)[..., :4]
+        sel = (idx[..., None] == jnp.arange(alld.shape[-1])).astype(alld.dtype)
+        d4 = jnp.einsum("nkm,nm->nk", sel, alld)
+        p4 = jnp.einsum("nkm,nmd->nkd", sel, allp)
+        c4 = jnp.einsum("nkm,nmd->nkd", sel, allc)
+        f4 = jnp.einsum("nkm,nm->nk", sel, flip)
+        dvec = (c4 - p4) * f4[..., None]
+        nrm = dvec / jnp.maximum(
+            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
+        nrm = jnp.where((d4 < 0)[..., None], -nrm, nrm)
+        cp = (p4 + c4) / 2
+        return d4.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
 
-    # ---- top-K selection ------------------------------------------------
-    margin = jnp.asarray(tables.margin, dtype)
-    score = dist - margin  # active when < 0
-    k = min(max_contacts, n)
-    neg_score, idx = jax_top_k(-score, k)
-    frame = _make_frame(normal[idx])
+    raise NotImplementedError(kind)
+
+
+# ---------------- main entry ------------------------------------------
+
+def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
+            max_contacts: int) -> Contacts:
+    """Narrow phase over all groups, then top-K deepest selection."""
+    dtype = kin.xpos.dtype
+    dists, poss, nrms = [], [], []
+    meta = {k: [] for k in ("g1", "g2", "margin", "friction", "solref",
+                            "solimp", "condim")}
+    for grp in tables:
+        d, p, nr = _narrow(m, kin, grp)
+        if np.any(grp.gap < 0):
+            d = d - jnp.asarray(grp.gap, dtype)  # widen proxy rest gaps
+        dists.append(d)
+        poss.append(p)
+        nrms.append(nr)
+        ns = _SLOTS[grp.kind]
+        meta["g1"].append(np.repeat(grp.g1, ns))
+        meta["g2"].append(np.repeat(grp.g2, ns))
+        for k in ("margin", "friction", "solref", "solimp", "condim"):
+            meta[k].append(getattr(grp, k))
+
+    dist = jnp.concatenate(dists)
+    pos = jnp.concatenate(poss)
+    normal = jnp.concatenate(nrms)
+    margin_np = np.concatenate(meta["margin"])
+    margin = jnp.asarray(margin_np, dtype)
+
+    nslots = dist.shape[0]
+    k = min(max_contacts, nslots)
+    _, idx = jax.lax.top_k(-(dist - margin), k)
+    # one-hot selection: float fields via einsum (gather-free), static
+    # per-slot metadata via a single small int gather
+    sel = (idx[:, None] == jnp.arange(nslots)).astype(dtype)  # (k, nslots)
+
+    frame = _make_frame(sel @ normal)
+    cat = lambda key: np.concatenate(meta[key])
     return Contacts(
-        dist=dist[idx], pos=pos[idx], frame=frame,
-        geom1=jnp.asarray(tables.g1, jnp.int32)[idx],
-        geom2=jnp.asarray(tables.g2, jnp.int32)[idx],
-        includemargin=margin[idx],
-        friction=jnp.asarray(tables.friction, dtype)[idx],
-        solref=jnp.asarray(tables.solref, dtype)[idx],
-        solimp=jnp.asarray(tables.solimp, dtype)[idx],
-        condim=jnp.asarray(tables.condim, jnp.int32)[idx],
+        dist=sel @ dist, pos=sel @ pos, frame=frame,
+        geom1=jnp.asarray(cat("g1"), jnp.int32)[idx],
+        geom2=jnp.asarray(cat("g2"), jnp.int32)[idx],
+        includemargin=sel @ margin,
+        friction=sel @ jnp.asarray(cat("friction"), dtype),
+        solref=sel @ jnp.asarray(cat("solref"), dtype),
+        solimp=sel @ jnp.asarray(cat("solimp"), dtype),
+        condim=jnp.asarray(cat("condim"), jnp.int32)[idx],
     )
 
 
-def jax_top_k(x, k):
-    import jax.lax as lax
-    return lax.top_k(x, k)
-
-
 def geom_pair_contact_flags(contacts: Contacts, gid_a, gid_b):
-    """1.0 if any active contact touches both geoms in the given sets.
-
-    Replaces the reference's per-contact name-string matching
-    (src/deepmimic_env.py:88-101) with static id-set membership.
-    """
+    """1.0 if any active contact touches both geom sets (replaces the
+    reference's name-string matching, src/deepmimic_env.py:88-101)."""
     active = contacts.dist < contacts.includemargin
     in_a = jnp.isin(contacts.geom1, gid_a) | jnp.isin(contacts.geom2, gid_a)
     in_b = jnp.isin(contacts.geom1, gid_b) | jnp.isin(contacts.geom2, gid_b)

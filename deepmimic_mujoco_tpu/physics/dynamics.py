@@ -43,22 +43,22 @@ def body_dof_mask(m: PhysicsModel) -> np.ndarray:
 
 
 def crb(m: PhysicsModel, com: Com) -> jnp.ndarray:
-    """Composite-rigid-body mass matrix (dense, nv x nv) + armature."""
+    """Composite-rigid-body mass matrix (dense, nv x nv) + armature.
+
+    Subtree inertia accumulation is one descendant-mask matmul; the
+    matrix assembly is one (nv, 6) x (6, nv) matmul masked by the static
+    ancestor pattern.
+    """
+    from deepmimic_mujoco_tpu.physics.kinematics import tree_tables
+
     dtype = com.cdof.dtype
-    Ic = [com.cinert[i] for i in range(m.nbody)]
-    for i in range(m.nbody - 1, 0, -1):
-        p = int(m.body_parentid[i])
-        if p > 0:
-            Ic[p] = Ic[p] + Ic[i]
-    # F[j] = Ic[body(j)] @ cdof[j]
-    Icd = jnp.stack([Ic[int(m.dof_bodyid[j])] for j in range(m.nv)])
+    t = tree_tables(m)
+    D = jnp.asarray(t.descendants, dtype)
+    Ic_tot = (D @ com.cinert.reshape(m.nbody, 36)).reshape(m.nbody, 6, 6)
+    Icd = Ic_tot[np.asarray(m.dof_bodyid)]
     F = jnp.einsum("jab,jb->ja", Icd, com.cdof)
     G = com.cdof @ F.T  # G[i, j] = cdof_i . F_j
     mask = jnp.asarray(dof_ancestor_mask(m))
-    # valid entries: i ancestor-or-self of j -> M[i,j] = G[i,j]
-    M = jnp.where(mask, G, 0.0)
-    M = jnp.where(mask.T, M + M.T - jnp.diag(jnp.diag(M)), M)
-    # make exactly symmetric (mask covers i<=j region of the tree)
     M = jnp.triu(jnp.where(mask, G, 0.0))
     M = M + M.T - jnp.diag(jnp.diag(M))
     return M + jnp.diag(jnp.asarray(m.dof_armature, dtype))
@@ -66,31 +66,26 @@ def crb(m: PhysicsModel, com: Com) -> jnp.ndarray:
 
 def rne(m: PhysicsModel, com: Com, cvel: jnp.ndarray,
         cdof_dot: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:
-    """Bias force C(q, v) + gravity loads (qacc = 0)."""
+    """Bias force C(q, v) + gravity loads (qacc = 0).
+
+    Forward acceleration propagation and backward force accumulation
+    are dense mask matmuls (path-sum and subtree-sum respectively).
+    """
+    from deepmimic_mujoco_tpu.physics.kinematics import tree_tables
+
     dtype = qvel.dtype
+    t = tree_tables(m)
     grav = jnp.asarray(m.opt.gravity, dtype)
-    cacc = [jnp.concatenate([jnp.zeros(3, dtype), -grav])]
-    for i in range(1, m.nbody):
-        p = int(m.body_parentid[i])
-        a = cacc[p]
-        if m.body_dofnum[i] > 0:
-            adr = int(m.body_dofadr[i])
-            n = int(m.body_dofnum[i])
-            a = a + jnp.einsum("kd,k->d", cdof_dot[adr:adr + n],
-                               qvel[adr:adr + n])
-        cacc.append(a)
-    # body forces
-    f = []
-    for i in range(m.nbody):
-        Iv = com.cinert[i] @ cvel[i]
-        f.append(com.cinert[i] @ cacc[i] + spatial.force_cross(cvel[i], Iv))
-    # backward accumulation
-    for i in range(m.nbody - 1, 0, -1):
-        p = int(m.body_parentid[i])
-        f[p] = f[p] + f[i]
-    fst = jnp.stack(f)
-    dof_body = np.asarray(m.dof_bodyid)
-    return jnp.einsum("jd,jd->j", com.cdof, fst[dof_body])
+    a0 = jnp.concatenate([jnp.zeros(3, dtype), -grav])
+    path = jnp.asarray(t.body_dof_path, dtype)          # (nbody, nv)
+    cacc = a0[None, :] + path @ (cdof_dot * qvel[:, None])
+    # world row gets a0 too but contributes nothing below
+    Iv = jnp.einsum("nab,nb->na", com.cinert, cvel)
+    f = (jnp.einsum("nab,nb->na", com.cinert, cacc)
+         + spatial.force_cross(cvel, Iv))
+    D = jnp.asarray(t.descendants, dtype)
+    ftot = D @ f                                         # subtree sums
+    return jnp.einsum("jd,jd->j", com.cdof, ftot[np.asarray(m.dof_bodyid)])
 
 
 def passive_force(m: PhysicsModel, qpos: jnp.ndarray,

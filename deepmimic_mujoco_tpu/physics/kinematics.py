@@ -1,24 +1,39 @@
-"""Forward kinematics and com-frame quantities (pure jnp).
+"""Forward kinematics and com-frame quantities (pure jnp, TPU-first).
 
-The body tree is unrolled at trace time (parents/joint layout are
-compile-time constants from :class:`PhysicsModel`), so XLA sees a
-static chain of small fused ops; batching comes from ``vmap`` over the
-env axis. Replaces the reference's per-process native engine calls
+Tree recursions are restructured for low kernel counts:
+- FK walks *levels* of the link tree (depth ~7-11) instead of bodies,
+  each level one vectorized batch (see physics/tree.py);
+- every accumulation (subtree com, velocity propagation) is a dense
+  0/1-mask matmul that XLA maps onto the MXU.
+
+Replaces the reference's per-process native engine calls
 ``sim.forward`` / FK fields (reference: src/deepmimic_env.py:489-491,
-mocap FK precompute src/mujoco/mocap_v2.py:292-307).
-
-Field semantics mirror the engine data fields the reference reads:
-xpos/xquat (body frames), xipos (inertial com), geom_xpos, cvel
-(com-based spatial velocity, [rot; lin], anchored at the subtree com of
-the body's kinematic root — used at src/deepmimic_env.py:53-54).
+mocap FK precompute src/mujoco/mocap_v2.py:292-307). Field semantics
+mirror the engine data the reference reads: xpos/xquat, xipos,
+geom_xpos, cvel ([rot; lin], anchored at the subtree com of the body's
+kinematic root — used at src/deepmimic_env.py:53-54).
 """
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
+from deepmimic_mujoco_tpu.models.physics_model import FREE, PhysicsModel
 from deepmimic_mujoco_tpu.physics import spatial
-from deepmimic_mujoco_tpu.models.physics_model import FREE, HINGE, PhysicsModel
+from deepmimic_mujoco_tpu.physics.tree import (
+    LINK_FIXED, LINK_FREE, LINK_HINGE, TreeTables, build_tree_tables,
+)
 from deepmimic_mujoco_tpu.utils import quat as jq
+
+_TREE_CACHE = {}
+
+
+def tree_tables(m: PhysicsModel) -> TreeTables:
+    key = id(m)
+    if key not in _TREE_CACHE:
+        _TREE_CACHE[key] = build_tree_tables(m)
+    return _TREE_CACHE[key]
 
 
 class Kin(NamedTuple):
@@ -26,9 +41,9 @@ class Kin(NamedTuple):
     xpos: jnp.ndarray        # (nbody, 3)
     xquat: jnp.ndarray       # (nbody, 4)
     xipos: jnp.ndarray       # (nbody, 3)
-    ximat: jnp.ndarray       # (nbody, 3, 3) inertial orientation
-    xanchor: jnp.ndarray     # (njnt, 3) joint anchors in world
-    xaxis: jnp.ndarray       # (njnt, 3) joint axes in world
+    ximat: jnp.ndarray       # (nbody, 3, 3)
+    xanchor: jnp.ndarray     # (njnt, 3)
+    xaxis: jnp.ndarray       # (njnt, 3)
     geom_xpos: jnp.ndarray   # (ngeom, 3)
     geom_xmat: jnp.ndarray   # (ngeom, 3, 3)
     site_xpos: jnp.ndarray   # (nsite, 3)
@@ -36,55 +51,73 @@ class Kin(NamedTuple):
 
 
 class Com(NamedTuple):
-    """Com-frame quantities for dynamics."""
     subtree_com: jnp.ndarray  # (nbody, 3)
-    cinert: jnp.ndarray       # (nbody, 6, 6) spatial inertia, c-frame
-    cdof: jnp.ndarray         # (nv, 6) motion subspace, c-frame
+    cinert: jnp.ndarray       # (nbody, 6, 6)
+    cdof: jnp.ndarray         # (nv, 6)
 
 
 def fwd_kinematics(m: PhysicsModel, qpos: jnp.ndarray) -> Kin:
-    """qpos -> world frames for bodies, joints, geoms and sites."""
+    """qpos -> world frames, level-parallel."""
     dtype = qpos.dtype
-    xpos = [jnp.zeros(3, dtype)]
-    xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
-    xanchor = [None] * m.njnt
-    xaxis = [None] * m.njnt
+    t = tree_tables(m)
 
-    for i in range(1, m.nbody):
-        p = int(m.body_parentid[i])
-        pos = xpos[p] + jq.rotate(xquat[p], jnp.asarray(m.body_pos[i], dtype))
-        quat = jq.mul(xquat[p], jnp.asarray(m.body_quat[i], dtype))
-        j0 = int(m.body_jntadr[i])
-        for k in range(int(m.body_jntnum[i])):
-            j = j0 + k
-            jtype = int(m.jnt_type[j])
-            qadr = int(m.jnt_qposadr[j])
-            if jtype == FREE:
-                pos = qpos[qadr:qadr + 3]
-                quat = jq.normalize(qpos[qadr + 3:qadr + 7])
-                xanchor[j] = pos
-                xaxis[j] = jnp.asarray(m.jnt_axis[j], dtype)
-            elif jtype == HINGE:
-                axis_l = jnp.asarray(m.jnt_axis[j], dtype)
-                jpos_l = jnp.asarray(m.jnt_pos[j], dtype)
-                angle = qpos[qadr]
-                qj = jq.from_axis_angle(axis_l, angle)
-                anchor = pos + jq.rotate(quat, jpos_l)
-                quat = jq.mul(quat, qj)
-                pos = anchor - jq.rotate(quat, jpos_l)
-                xanchor[j] = anchor
-                xaxis[j] = jq.rotate(quat, axis_l)
-            else:  # SLIDE/BALL: not used by the supported robots yet
-                raise NotImplementedError(f"joint type {jtype}")
-        xpos.append(pos)
-        xquat.append(quat)
+    # slot-major buffers, world row prepended (index 0)
+    pos_rows = [jnp.zeros((1, 3), dtype)]
+    quat_rows = [jnp.asarray([[1.0, 0, 0, 0]], dtype)]
+    anchor_rows = [jnp.zeros((1, 3), dtype)]
+    axis_rows = [jnp.zeros((1, 3), dtype)]
+    n_done = 1
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
+    for grp in t.groups:
+        pos_all = jnp.concatenate(pos_rows) if len(pos_rows) > 1 else pos_rows[0]
+        quat_all = jnp.concatenate(quat_rows) if len(quat_rows) > 1 else quat_rows[0]
+        pidx = grp.parent_slot + 1  # world at 0
+        p_pos = pos_all[pidx]
+        p_quat = quat_all[pidx]
+        off_p = jnp.asarray(grp.offset_pos, dtype)
+        off_q = jnp.asarray(grp.offset_quat, dtype)
+        pre_pos = p_pos + jq.rotate(p_quat, off_p)
+        pre_quat = jq.mul(p_quat, off_q)
 
-    bq = xquat  # (nbody, 4)
-    xipos = xpos + jq.rotate(bq, jnp.asarray(m.body_ipos, dtype))
-    ximat = jq.to_mat(jq.mul(bq, jnp.asarray(m.body_iquat, dtype)))
+        if grp.link_type == LINK_FREE:
+            qidx = grp.qpos_adr[:, None] + np.arange(7)[None]
+            qv = qpos[qidx]  # (L, 7)
+            new_pos = qv[:, :3]
+            new_quat = jq.normalize(qv[:, 3:7])
+            anchor = new_pos
+            axis = jnp.asarray(grp.jnt_axis, dtype)
+        elif grp.link_type == LINK_HINGE:
+            angle = qpos[grp.qpos_adr]
+            axis_l = jnp.asarray(grp.jnt_axis, dtype)
+            jpos_l = jnp.asarray(grp.jnt_pos, dtype)
+            qj = jq.from_axis_angle(axis_l, angle)
+            anchor = pre_pos + jq.rotate(pre_quat, jpos_l)
+            new_quat = jq.mul(pre_quat, qj)
+            new_pos = anchor - jq.rotate(new_quat, jpos_l)
+            axis = jq.rotate(new_quat, axis_l)
+        else:  # fixed
+            new_pos, new_quat = pre_pos, pre_quat
+            anchor = new_pos
+            axis = jnp.asarray(grp.jnt_axis, dtype)
+
+        pos_rows.append(new_pos)
+        quat_rows.append(new_quat)
+        anchor_rows.append(anchor)
+        axis_rows.append(axis)
+        n_done += len(grp.parent_slot)
+
+    pos_all = jnp.concatenate(pos_rows)
+    quat_all = jnp.concatenate(quat_rows)
+    anchor_all = jnp.concatenate(anchor_rows)
+    axis_all = jnp.concatenate(axis_rows)
+
+    xpos = pos_all[t.body_slot + 1]
+    xquat = quat_all[t.body_slot + 1]
+    xanchor = anchor_all[t.jnt_slot + 1]
+    xaxis = axis_all[t.jnt_slot + 1]
+
+    xipos = xpos + jq.rotate(xquat, jnp.asarray(m.body_ipos, dtype))
+    ximat = jq.to_mat(jq.mul(xquat, jnp.asarray(m.body_iquat, dtype)))
 
     gb = m.geom_bodyid
     geom_xpos = xpos[gb] + jq.rotate(xquat[gb], jnp.asarray(m.geom_pos, dtype))
@@ -98,108 +131,78 @@ def fwd_kinematics(m: PhysicsModel, qpos: jnp.ndarray) -> Kin:
         site_xpos = jnp.zeros((0, 3), dtype)
         site_xmat = jnp.zeros((0, 3, 3), dtype)
 
-    return Kin(
-        xpos=xpos, xquat=xquat, xipos=xipos, ximat=ximat,
-        xanchor=jnp.stack(xanchor) if m.njnt else jnp.zeros((0, 3), dtype),
-        xaxis=jnp.stack(xaxis) if m.njnt else jnp.zeros((0, 3), dtype),
-        geom_xpos=geom_xpos, geom_xmat=geom_xmat,
-        site_xpos=site_xpos, site_xmat=site_xmat,
-    )
+    return Kin(xpos=xpos, xquat=xquat, xipos=xipos, ximat=ximat,
+               xanchor=xanchor, xaxis=xaxis,
+               geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+               site_xpos=site_xpos, site_xmat=site_xmat)
 
 
 def com_pos(m: PhysicsModel, kin: Kin) -> Com:
-    """Subtree com, com-frame spatial inertias and motion subspace."""
+    """Subtree com, com-frame spatial inertias, motion subspace —
+    accumulations as dense mask matmuls."""
     dtype = kin.xpos.dtype
+    t = tree_tables(m)
     mass = jnp.asarray(m.body_mass, dtype)
+    D = jnp.asarray(t.descendants, dtype)
 
-    # subtree com: bottom-up accumulation (static unroll)
-    sub_mass = [mass[i] for i in range(m.nbody)]
-    sub_mom = [mass[i] * kin.xipos[i] for i in range(m.nbody)]
-    for i in range(m.nbody - 1, 0, -1):
-        p = int(m.body_parentid[i])
-        sub_mass[p] = sub_mass[p] + sub_mass[i]
-        sub_mom[p] = sub_mom[p] + sub_mom[i]
-    subtree_com = jnp.stack([
-        sub_mom[i] / jnp.maximum(sub_mass[i], 1e-12) for i in range(m.nbody)])
-    # bodies with zero subtree mass inherit their own frame origin
-    # (world body keeps the total-robot com like the engine does via root)
+    sub_mass = D @ mass
+    sub_mom = D @ (mass[:, None] * kin.xipos)
+    subtree_com = sub_mom / jnp.maximum(sub_mass, 1e-12)[:, None]
 
-    # com-frame anchor per body: subtree com of its kinematic root
-    anchor = subtree_com[m.body_rootid]          # (nbody, 3)
+    anchor = subtree_com[m.body_rootid]  # (nbody, 3)
 
-    # spatial inertia about the anchor, world-aligned
-    inertia_com = (kin.ximat
-                   @ jnp.vectorize(jnp.diag, signature="(k)->(k,k)")(
-                       jnp.asarray(m.body_inertia, dtype))
-                   @ jnp.swapaxes(kin.ximat, -1, -2))
+    diag = jnp.zeros((m.nbody, 3, 3), dtype)
+    inertia_diag = jnp.asarray(m.body_inertia, dtype)
+    diag = diag.at[:, 0, 0].set(inertia_diag[:, 0])
+    diag = diag.at[:, 1, 1].set(inertia_diag[:, 1])
+    diag = diag.at[:, 2, 2].set(inertia_diag[:, 2])
+    inertia_com = kin.ximat @ diag @ jnp.swapaxes(kin.ximat, -1, -2)
     cinert = spatial.inertia_matrix(mass, inertia_com, kin.xipos - anchor)
 
-    # motion subspace per dof, about the same anchor
-    cdof = []
-    for j in range(m.njnt):
-        b = int(m.jnt_bodyid[j])
+    # cdof: free root (6 rows) + hinges (1 row each), dof order
+    rows = []
+    hinge_jids = [j for j in range(m.njnt) if m.jnt_type[j] != FREE]
+    free_jids = [j for j in range(m.njnt) if m.jnt_type[j] == FREE]
+    assert free_jids in ([], [0]), "free joint must be the root joint"
+    if free_jids:
+        b = int(m.jnt_bodyid[0])
         o = anchor[b]
-        jtype = int(m.jnt_type[j])
-        if jtype == FREE:
-            zero = jnp.zeros(3, dtype)
-            for ax in range(3):
-                e = jnp.zeros(3, dtype).at[ax].set(1.0)
-                cdof.append(jnp.concatenate([zero, e]))
-            # rotational dofs: axes of the child body frame, anchored at
-            # the body frame origin
-            R = jq.to_mat(kin.xquat[b])
-            for ax in range(3):
-                u = R[:, ax]
-                cdof.append(jnp.concatenate([u, jnp.cross(u, o - kin.xpos[b])]))
-        elif jtype == HINGE:
-            u = kin.xaxis[j]
-            a = kin.xanchor[j]
-            cdof.append(jnp.concatenate([u, jnp.cross(u, o - a)]))
-        else:
-            raise NotImplementedError
-    cdof = jnp.stack(cdof) if cdof else jnp.zeros((0, 6), dtype)
-
+        eye = jnp.eye(3, dtype=dtype)
+        zeros = jnp.zeros((3, 3), dtype)
+        trans = jnp.concatenate([zeros, eye], axis=1)  # (3, 6)
+        R = jq.to_mat(kin.xquat[b])
+        u = jnp.swapaxes(R, -1, -2)  # row k = body axis k in world (R[:, k])
+        lin = jnp.cross(u, (o - kin.xpos[b])[None, :])
+        rot = jnp.concatenate([u, lin], axis=1)  # (3, 6)
+        rows.append(trans)
+        rows.append(rot)
+    if hinge_jids:
+        hj = np.asarray(hinge_jids)
+        u = kin.xaxis[hj]
+        a = kin.xanchor[hj]
+        o = anchor[np.asarray(m.jnt_bodyid)[hj]]
+        rows.append(jnp.concatenate([u, jnp.cross(u, o - a)], axis=1))
+    cdof = jnp.concatenate(rows, axis=0)
     return Com(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
 def com_vel(m: PhysicsModel, com: Com, qvel: jnp.ndarray):
-    """Body spatial velocities (cvel) and cdof time derivatives.
+    """cvel per body + cdof time derivatives, via mask matmuls.
 
-    Mirrors the engine's velocity stage: cvel accumulates down the tree;
-    cdof_dot[j] is the motion cross product of the velocity 'seen so
-    far' at that dof with cdof[j] (translation dofs of a free joint are
-    constant; its rotation dofs see only the translational velocity).
+    cvel[i] = sum over root-path dofs of cdof*qvel; cdof_dot[j] is the
+    motion cross of the velocity 'seen' by dof j (strict dof ancestors;
+    a free joint's rotation subspace sees only its translations) with
+    cdof[j] — matches the engine's velocity stage (validated against
+    oracle cvel/cdof_dot).
     """
     dtype = qvel.dtype
-    nb = m.nbody
-    cvel = [jnp.zeros(6, dtype) for _ in range(nb)]
-    cdof_dot = [jnp.zeros(6, dtype) for _ in range(m.nv)]
-
-    for i in range(1, nb):
-        p = int(m.body_parentid[i])
-        v = cvel[p]
-        j0 = int(m.body_jntadr[i])
-        for k in range(int(m.body_jntnum[i])):
-            j = j0 + k
-            jtype = int(m.jnt_type[j])
-            d0 = int(m.jnt_dofadr[j])
-            if jtype == FREE:
-                # translation: constant subspace, cdof_dot = 0
-                for ax in range(3):
-                    v = v + com.cdof[d0 + ax] * qvel[d0 + ax]
-                # rotation: subspace moves with the translational motion
-                for ax in range(3, 6):
-                    cdof_dot[d0 + ax] = spatial.motion_cross(v, com.cdof[d0 + ax])
-                for ax in range(3, 6):
-                    v = v + com.cdof[d0 + ax] * qvel[d0 + ax]
-            elif jtype == HINGE:
-                cdof_dot[d0] = spatial.motion_cross(v, com.cdof[d0])
-                v = v + com.cdof[d0] * qvel[d0]
-            else:
-                raise NotImplementedError
-        cvel[i] = v
-
-    return jnp.stack(cvel), jnp.stack(cdof_dot)
+    t = tree_tables(m)
+    wv = com.cdof * qvel[:, None]                        # (nv, 6)
+    cvel = jnp.asarray(t.body_dof_path, dtype) @ wv      # (nbody, 6)
+    vseen = jnp.asarray(t.dof_seen, dtype) @ wv          # (nv, 6)
+    cdof_dot = spatial.motion_cross(vseen, com.cdof)
+    cdof_dot = cdof_dot * (1.0 - jnp.asarray(t.dof_free_trans, dtype))[:, None]
+    return cvel, cdof_dot
 
 
 def mass_center(m: PhysicsModel, kin: Kin) -> jnp.ndarray:

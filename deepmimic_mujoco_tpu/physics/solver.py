@@ -15,8 +15,12 @@ rows with J = +-e_dof.
 
 TPU-first: fixed shapes (K contact slots * 3 rows + L limit slots),
 activity handled by masks, and the iteration is a fully vectorized
-under-relaxed projected block-Jacobi — no sequential per-contact sweep,
-so the whole solve vmaps over thousands of envs as batched matmuls.
+under-relaxed projected Jacobi — no sequential per-contact sweep, so
+the whole solve vmaps over thousands of envs as batched matmuls. The
+relaxation default (0.15) was chosen empirically: strongly coupled
+rows (4 corners of one foot) diverge under Jacobi at Gauss-Seidel-like
+step sizes, and 0.15 x 50 iterations is stable across falling/contact-
+rich states while matching resting behavior.
 """
 from __future__ import annotations
 
@@ -81,17 +85,20 @@ def build_contact_jacobian(m: PhysicsModel, com: Com, contacts: Contacts,
     return jnp.einsum("krd,knd->krn", contacts.frame, Jp)
 
 
-def solve_constraints(m: PhysicsModel, com: Com, M: jnp.ndarray,
+def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
                       qacc_smooth: jnp.ndarray, qpos: jnp.ndarray,
                       qvel: jnp.ndarray, contacts: Contacts,
                       body_dof: np.ndarray, limit_table,
                       iterations: int = 50,
-                      relaxation: float = 0.6) -> SolveResult:
+                      relaxation: float = 0.15) -> SolveResult:
+    """``Minv`` is the (explicit) inverse mass matrix — see
+    physics/linalg.py for why an explicit inverse beats triangular
+    solves for batched tiny systems on TPU."""
     dtype = qacc_smooth.dtype
     nv = m.nv
     K = contacts.dist.shape[0]
 
-    # ---- contact rows --------------------------------------------------
+    # ---- contact rows (segment-major: normals | t1 | t2 | limits) -----
     Jc = build_contact_jacobian(m, com, contacts, body_dof)   # (K, 3, nv)
     pos_c = contacts.dist - contacts.includemargin
     active_c = pos_c < 0.0
@@ -101,10 +108,10 @@ def solve_constraints(m: PhysicsModel, com: Com, M: jnp.ndarray,
     normal_sel = jnp.asarray([1.0, 0.0, 0.0], dtype)
     aref_c = -b_c[:, None] * vel_c - (k_c * imp_c * pos_c)[:, None] * normal_sel
 
-    J = Jc.reshape(K * 3, nv)
-    aref = aref_c.reshape(K * 3)
-    imp = jnp.repeat(imp_c, 3)
-    active = jnp.repeat(active_c, 3)
+    J = jnp.concatenate([Jc[:, 0], Jc[:, 1], Jc[:, 2]], axis=0)
+    aref = jnp.concatenate([aref_c[:, 0], aref_c[:, 1], aref_c[:, 2]])
+    imp = jnp.tile(imp_c, 3)
+    active = jnp.tile(active_c, 3)
 
     # ---- joint-limit rows ----------------------------------------------
     ld, lq, llo, lhi = limit_table
@@ -133,42 +140,70 @@ def solve_constraints(m: PhysicsModel, com: Com, M: jnp.ndarray,
         active = jnp.concatenate([active, active_l])
 
     # ---- A = J M^-1 J^T + R --------------------------------------------
-    cho = jax.scipy.linalg.cho_factor(M)
-    MinvJT = jax.scipy.linalg.cho_solve(cho, J.T)            # (nv, n)
+    MinvJT = Minv @ J.T                                      # (nv, n)
     A = J @ MinvJT
     diagA = jnp.clip(jnp.diag(A), 1e-8, None)
     R = (1.0 - imp) / imp * diagA
     b_vec = J @ qacc_smooth - aref
     Ahat = A + jnp.diag(R)
-    inv_diag = relaxation / jnp.clip(jnp.diag(Ahat), 1e-8, None)
+    inv_diag = 1.0 / jnp.clip(jnp.diag(Ahat), 1e-8, None)
     activef = active.astype(dtype)
-
     mu = contacts.friction[:, 0]
 
+    lam = _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef,
+                       K=K, L=L, iterations=iterations,
+                       relaxation=relaxation)
+
+    qfrc = J.T @ lam
+    qacc = qacc_smooth + Minv @ qfrc
+    return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
+
+
+def _use_pallas() -> bool:
+    # The Pallas PGS kernel (ops/pgs_kernel.py) currently measures
+    # slower than the XLA loop on v5e (latency-bound per-env programs);
+    # opt in via env var while it is being tuned.
+    import os
+
+    import jax
+
+    return (os.environ.get("DM_TPU_PGS_PALLAS") == "1"
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
+                 iterations, relaxation):
+    """Dispatch the iteration to the Pallas TPU kernel (A resident in
+    VMEM across sweeps) or a pure-XLA fallback loop elsewhere."""
+    dtype = Ahat.dtype
+    if _use_pallas():
+        from deepmimic_mujoco_tpu.ops.pgs_kernel import pgs_solve_single
+
+        return pgs_solve_single(Ahat, b_vec, inv_diag, mu, activef,
+                                K=K, L=L, iterations=iterations,
+                                relaxation=relaxation)
+
+    # ---- XLA fallback (CPU tests, interpretability) -------------------
+    # barrier: stop XLA from sinking A's definition into the loop and
+    # re-evaluating the whole upstream pipeline per sweep
+    Ahat, b_vec, inv_diag, activef, mu = jax.lax.optimization_barrier(
+        (Ahat, b_vec, inv_diag, activef, mu))
+
     def project(lam):
-        lamc = lam[:K * 3].reshape(K, 3)
-        n = jnp.maximum(lamc[:, 0], 0.0)
-        t = lamc[:, 1:]
-        tn = jnp.linalg.norm(t, axis=-1)
+        n = jnp.maximum(lam[:K], 0.0)
+        t1 = lam[K:2 * K]
+        t2 = lam[2 * K:3 * K]
+        tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
         lim = mu * n
-        scale = jnp.where(tn > lim,
-                          lim / jnp.maximum(tn, 1e-12), 1.0)
-        t = t * scale[:, None]
-        lamc = jnp.concatenate([n[:, None], t], axis=1).reshape(K * 3)
+        scale = jnp.where(tn > lim, lim / tn, 1.0)
+        parts = [n, t1 * scale, t2 * scale]
         if L:
-            laml = jnp.maximum(lam[K * 3:], 0.0)
-            lam = jnp.concatenate([lamc, laml])
-        else:
-            lam = lamc
-        return lam * activef
+            parts.append(jnp.maximum(lam[3 * K:], 0.0))
+        return jnp.concatenate(parts) * activef
 
     def sweep(_, lam):
         grad = Ahat @ lam + b_vec
-        return project(lam - inv_diag * grad)
+        return project(lam - relaxation * inv_diag * grad)
 
-    lam = jax.lax.fori_loop(0, iterations, sweep,
-                            jnp.zeros(J.shape[0], dtype))
-
-    qfrc = J.T @ lam
-    qacc = qacc_smooth + jax.scipy.linalg.cho_solve(cho, qfrc)
-    return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
+    return jax.lax.fori_loop(0, iterations, sweep,
+                             jnp.zeros(Ahat.shape[0], dtype))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from deepmimic_mujoco_tpu.models.physics_model import FREE, PhysicsModel, RK4
-from deepmimic_mujoco_tpu.physics import dynamics
+from deepmimic_mujoco_tpu.physics import dynamics, linalg
 from deepmimic_mujoco_tpu.physics.collision import (
     Contacts, build_pair_tables, collide,
 )
@@ -46,6 +46,14 @@ class EngineData(NamedTuple):
     qfrc_constraint: jnp.ndarray  # (nv,)
 
 
+def _neutral_qpos(model: PhysicsModel) -> np.ndarray:
+    q = np.zeros(model.nq)
+    if model.njnt and model.jnt_type[0] == FREE:
+        q[2] = 10.0  # high above the floor
+        q[3] = 1.0
+    return q
+
+
 class Engine:
     def __init__(self, model: PhysicsModel, max_contacts: int = 24,
                  iterations: Optional[int] = None,
@@ -58,6 +66,14 @@ class Engine:
             else model.opt.integrator
         self.dt = model.opt.timestep
         self.tables = build_pair_tables(model)
+        if any(g.is_proxy.any() for g in self.tables):
+            from deepmimic_mujoco_tpu.physics.collision import (
+                calibrate_proxy_gaps,
+            )
+
+            calib = (model.key_qpos[0] if model.key_qpos is not None
+                     else _neutral_qpos(model))
+            self.tables = calibrate_proxy_gaps(model, self.tables, calib)
         self.body_dof = dynamics.body_dof_mask(model)
         self.limit_table = dynamics.limited_hinge_table(model)
 
@@ -87,11 +103,11 @@ class Engine:
         qfrc_smooth = passive + act - bias
 
         M_hat = M + h_implicit * jnp.diag(damping) if h_implicit else M
-        qacc_smooth = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(M_hat), qfrc_smooth)
+        Minv = linalg.spd_inverse(M_hat)
+        qacc_smooth = Minv @ qfrc_smooth
 
         res = solve_constraints(
-            m, com, M_hat, qacc_smooth, qpos, qvel, contacts,
+            m, com, Minv, qacc_smooth, qpos, qvel, contacts,
             self.body_dof, self.limit_table, iterations=self.iterations)
 
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
@@ -151,12 +167,21 @@ class Engine:
             a_avg = (accs * w).sum(0)
             qpos_new = self.integrate_pos(qpos, v_avg, h)
             qvel_new = qvel + a_avg * h
-            # recompute stage-1 data lazily only when callers need it;
-            # returning the position-stage view keeps the graph small
-            d = None
+            # pre-integration data view (position/velocity stages only;
+            # keeps the traced graph to one extra FK, not a 5th forward)
+            d = self.data_view(qpos, qvel)
             return qpos_new, qvel_new, d
         # semi-implicit Euler with implicit joint damping
         d = self.forward(qpos, qvel, ctrl, h_implicit=h)
         qvel_new = qvel + d.qacc * h
         qpos_new = self.integrate_pos(qpos, qvel_new, h)
         return qpos_new, qvel_new, d
+
+    def data_view(self, qpos, qvel) -> EngineData:
+        """Position+velocity stage fields only (no dynamics), mirroring
+        what the reference exposes after ``set_state``+``forward``."""
+        kin, com, contacts = self.position_stage(qpos)
+        cvel, _ = com_vel(self.m, com, qvel)
+        z = jnp.zeros(self.m.nv, qpos.dtype)
+        return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
+                          qacc=z, qfrc_smooth=z, qfrc_constraint=z)

@@ -1,0 +1,157 @@
+"""Profiling harnesses: stage breakdown, batch-size sweep, xprof trace.
+
+The reference's opt-in per-phase wall-clock prints + Gantt plotter
+(reference: src/profile_dpenv.py, src/profile_subproc_dpenv.py:1-24,
+src/plot_profiling.py:831-868) become three TPU-appropriate tools:
+
+1. ``stage_breakdown``: jit each pipeline stage separately and time it
+   over a batch — the fused-step analogue of the reference's
+   Sim/Obs/Reward phase lines.
+2. ``throughput_sweep``: env-steps/s vs batch size (the whole point of
+   the TPU design), printed as a table + bar chart.
+3. ``trace``: wraps a batch rollout in ``jax.profiler.trace`` for xprof.
+
+Usage: python -m deepmimic_mujoco_tpu.tools.profiling [--mode sweep|stages|trace]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def stage_breakdown(env, batch: int = 1024):
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.physics import com_pos, com_vel, fwd_kinematics
+    from deepmimic_mujoco_tpu.physics.collision import collide
+    from deepmimic_mujoco_tpu.physics import dynamics
+
+    m = env.model
+    eng = env.engine
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    q, v = states.qpos, states.qvel
+    u = jnp.zeros((batch, m.nu), jnp.float32)
+
+    stages = {
+        "fk": jax.jit(jax.vmap(lambda q: fwd_kinematics(m, q))),
+        "fk+com": jax.jit(jax.vmap(lambda q: com_pos(m, fwd_kinematics(m, q)))),
+        "collision": jax.jit(jax.vmap(
+            lambda q: collide(m, eng.tables, fwd_kinematics(m, q),
+                              eng.max_contacts))),
+        "crb(M)": jax.jit(jax.vmap(
+            lambda q: dynamics.crb(m, com_pos(m, fwd_kinematics(m, q))))),
+        "forward": jax.jit(jax.vmap(lambda q, v, u: eng.forward(q, v, u).qacc)),
+        "full step": jax.jit(jax.vmap(lambda q, v, u: eng.step(q, v, u)[0])),
+        "env step": jax.jit(jax.vmap(
+            lambda s, a: env.step_auto_reset(s, a)[1].reward)),
+    }
+    rows = []
+    for name, fn in stages.items():
+        if name == "fk":
+            dt = _bench(fn, q)
+        elif name in ("fk+com", "collision", "crb(M)"):
+            dt = _bench(fn, q)
+        elif name in ("forward", "full step"):
+            dt = _bench(fn, q, v, u)
+        else:
+            a = jnp.zeros((batch, env.action_size), jnp.float32)
+            dt = _bench(fn, states, a)
+        rows.append((name, dt * 1e3, batch / dt))
+        print(f"{name:>10}: {dt * 1e3:8.2f} ms/batch "
+              f"({batch / dt:12,.0f} env-evals/s)", flush=True)
+    return rows
+
+
+def throughput_sweep(env, batches=(64, 256, 1024, 4096), steps: int = 64):
+    import jax
+    import jax.numpy as jnp
+
+    results = []
+    for b in batches:
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+        def rollout(states, key):
+            def body(carry, _):
+                states, key = carry
+                key, sub = jax.random.split(key)
+                a = 0.1 * jax.random.normal(sub, (b, env.action_size))
+                states, out = jax.vmap(env.step_auto_reset)(states, a)
+                return (states, key), out.reward.mean()
+
+            (states, _), r = jax.lax.scan(body, (states, key), None,
+                                          length=steps)
+            return states, r.mean()
+
+        run = jax.jit(rollout)
+        s2, r = run(states, jax.random.PRNGKey(1))
+        jax.block_until_ready(r)
+        t0 = time.time()
+        s2, r = run(s2, jax.random.PRNGKey(2))
+        jax.block_until_ready(r)
+        dt = time.time() - t0
+        sps = b * steps / dt
+        results.append((b, sps))
+        print(f"batch {b:6d}: {sps:14,.0f} env-steps/s", flush=True)
+    return results
+
+
+def trace(env, out_dir: str = "/tmp/dm_tpu_trace", batch: int = 1024,
+          steps: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    a = jnp.zeros((batch, env.action_size), jnp.float32)
+    step = jax.jit(jax.vmap(env.step_auto_reset))
+    states, out = step(states, a)  # compile outside trace
+    jax.block_until_ready(out.reward)
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            states, out = step(states, a)
+        jax.block_until_ready(out.reward)
+    print("xprof trace written to", out_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="stages",
+                   choices=["stages", "sweep", "trace"])
+    p.add_argument("--env", default="deep_mimic_mujoco",
+                   choices=["deep_mimic_mujoco", "dp_combined_env"])
+    p.add_argument("--motion", default="walk")
+    p.add_argument("--robot", default="humanoid3d")
+    p.add_argument("--batch", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    from deepmimic_mujoco_tpu.envs import DPCombinedEnv, DPEnv
+
+    env = (DPEnv(motion=args.motion, robot=args.robot)
+           if args.env == "deep_mimic_mujoco" else DPCombinedEnv())
+    if args.mode == "stages":
+        stage_breakdown(env, args.batch)
+    elif args.mode == "sweep":
+        throughput_sweep(env)
+    else:
+        trace(env, batch=args.batch)
+
+
+if __name__ == "__main__":
+    main()
