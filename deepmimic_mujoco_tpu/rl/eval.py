@@ -23,13 +23,19 @@ import jax.numpy as jnp
 
 
 def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
-                 idx_init: Optional[int] = 0):
-    """Deterministic episode; returns dict of stacked host arrays."""
+                 idx_init: Optional[int] = None):
+    """Deterministic episode; returns dict of stacked host arrays.
+
+    ``idx_init=None`` uses reference-state initialization like the
+    reference's eval (a pinned frame 0 is a standing start the policy
+    never trains from and badly underestimates performance).
+    """
     env = env or ppo.env
 
-    reset = jax.jit(lambda k: env.reset(k) if idx_init is None
-                    else env.reset(k, idx_init=idx_init)
-                    if hasattr(env, "mocap_data_len") else env.reset(k))
+    if idx_init is None or not hasattr(env, "mocap_data_len"):
+        reset = jax.jit(env.reset)
+    else:
+        reset = jax.jit(lambda k: env.reset(k, idx_init=idx_init))
     step = jax.jit(env.step)
 
     def policy(obs):

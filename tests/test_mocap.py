@@ -139,4 +139,7 @@ def test_qvel_root_angular_convention(humanoid, walk):
         q1 = walk.qpos[k, 3:7] / np.linalg.norm(walk.qpos[k, 3:7])
         w = walk.qvel[k, 3:6]
         q1_pred = hq.integrate(q0, w, walk.dt)
-        assert abs(np.dot(q1_pred, q1)) > 1 - 1e-6
+        # lerped frames make the FD inexact (~1 deg); the check only
+        # needs to reject the wrong (world-frame) convention, which
+        # errs by tens of degrees
+        assert abs(np.dot(q1_pred, q1)) > 1 - 1e-4
