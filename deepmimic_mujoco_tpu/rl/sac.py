@@ -123,8 +123,11 @@ class SAC:
             next_obs=jnp.zeros((n, self.env.obs_size), jnp.float32),
             done=jnp.zeros((n,), jnp.float32),
         )
+        # target must not alias critic buffers (the jitted train iter
+        # donates its input state; aliased leaves would be donated twice)
+        target_critic = jax.tree.map(jnp.copy, critic)
         return SACState(
-            actor=actor, critic=critic, target_critic=critic,
+            actor=actor, critic=critic, target_critic=target_critic,
             log_alpha=log_alpha, opt_actor=self.tx.init(actor),
             opt_critic=self.tx.init(critic),
             opt_alpha=self.tx.init(log_alpha),

@@ -31,6 +31,11 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--total", type=int, default=500 * M)
     p.add_argument("--eval-every", type=int, default=500_000)
+    p.add_argument("--preset", default="sb3",
+                   choices=["sb3", "legacy-ppo2"],
+                   help="legacy-ppo2 mirrors the reference's SB2 PPO2 "
+                        "script hyperparams (horizon 128, 4 epochs, "
+                        "lr 2.5e-4; reference: src/ppo.py:16-42)")
     p.add_argument("--no-wandb", action="store_true")
     p.add_argument("--no-render", action="store_true")
     p.add_argument("--out", default="~/deep_mimic")
@@ -53,9 +58,14 @@ def main(argv=None):
     else:
         env = DPCombinedEnv()
 
-    cfg = PPOConfig(n_envs=args.n_envs, horizon=args.horizon,
-                    minibatch_size=args.minibatch, epochs=args.epochs,
-                    lr=args.lr, total_timesteps=args.total)
+    if args.preset == "legacy-ppo2":
+        cfg = PPOConfig(n_envs=args.n_envs, horizon=128,
+                        minibatch_size=args.minibatch, epochs=4,
+                        lr=2.5e-4, total_timesteps=args.total)
+    else:
+        cfg = PPOConfig(n_envs=args.n_envs, horizon=args.horizon,
+                        minibatch_size=args.minibatch, epochs=args.epochs,
+                        lr=args.lr, total_timesteps=args.total)
     ppo = PPO(env, cfg)
 
     run_name = "test" + time.strftime("%Y%m%d-%H%M_%S")

@@ -1,14 +1,17 @@
 """Host-side visualization (not on the TPU hot path).
 
 Replaces the reference's native OpenGL viewer (reference:
-src/deepmimic_env.py:527-538) with a dependency-light matplotlib
-rasterizer over the framework's own FK: primitives are drawn as
-projected discs/segments, good enough for eval dashboards and clip
-inspection videos. ``mode="rgb_array"`` returns an HxWx3 uint8 frame
-with the reference's episode-length/reward overlay.
+src/deepmimic_env.py:527-538) with this framework's own native C++
+ray-traced renderer (deepmimic_mujoco_tpu/native/rasterizer.cpp, built
+on demand, loaded via ctypes) — no GL context required, suitable for
+headless eval videos. Mesh geoms are drawn as their collision proxy
+capsules. Falls back to a matplotlib sketch if no C++ toolchain exists.
+``mode="rgb_array"`` returns an HxWx3 uint8 frame with the reference's
+episode-length/reward overlay (cv2.putText, like src/deepmimic_env.py:536).
 """
 from __future__ import annotations
 
+import ctypes
 from typing import Optional
 
 import numpy as np
@@ -17,82 +20,142 @@ from deepmimic_mujoco_tpu.models.physics_model import (
     BOX, CAPSULE, CYLINDER, MESH, PLANE, SPHERE,
 )
 
-_FIG_CACHE = {}
+_SCENE_CACHE = {}
+
+
+def _scene_tables(model):
+    """Static per-geom (type, size, rgba, mesh proxy transform)."""
+    key = id(model)
+    if key in _SCENE_CACHE:
+        return _SCENE_CACHE[key]
+    ngeom = model.ngeom
+    gtype = np.zeros(ngeom, np.int32)
+    size = np.asarray(model.geom_size, np.float32).copy()
+    rgba = np.zeros((ngeom, 4), np.float32)
+    proxy_pos = np.zeros((ngeom, 3), np.float32)
+    proxy_quat = np.tile(np.array([1, 0, 0, 0], np.float32), (ngeom, 1))
+    palette = np.array([
+        [0.76, 0.60, 0.42, 1.0],  # body tan
+        [0.55, 0.55, 0.62, 1.0],  # metal
+    ], np.float32)
+    for g in range(ngeom):
+        t = int(model.geom_type[g])
+        if t == MESH:
+            mesh = model.meshes[int(model.geom_meshid[g])]
+            gtype[g] = CAPSULE
+            size[g, 0] = mesh.capsule_size[0]
+            size[g, 1] = mesh.capsule_size[1]
+            proxy_pos[g] = mesh.capsule_pos
+            proxy_quat[g] = mesh.capsule_quat
+            rgba[g] = palette[1]
+        else:
+            gtype[g] = t
+            rgba[g] = palette[0] if t != PLANE else np.array(
+                [0.45, 0.62, 0.45, 1.0], np.float32)
+    tables = (gtype, size, rgba, proxy_pos, proxy_quat)
+    _SCENE_CACHE[key] = tables
+    return tables
 
 
 def render_state(model, qpos, mode: Optional[str] = None,
                  overlay: str = "", width: int = 480, height: int = 480,
-                 azimuth: float = 35.0):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+                 azimuth_deg: float = 155.0, distance: float = 3.0):
+    import jax
     import jax.numpy as jnp
 
     from deepmimic_mujoco_tpu.physics import fwd_kinematics
+    from deepmimic_mujoco_tpu.utils import hostquat as hq
 
-    kin = fwd_kinematics(model, jnp.asarray(np.asarray(qpos, np.float32)))
-    gx = np.asarray(kin.geom_xpos)
-    gm = np.asarray(kin.geom_xmat)
+    key = ("fk", id(model))
+    if key not in _SCENE_CACHE:
+        _SCENE_CACHE[key] = jax.jit(lambda q: fwd_kinematics(model, q))
+    kin = _SCENE_CACHE[key](jnp.asarray(np.asarray(qpos, np.float32)))
+    gx = np.asarray(kin.geom_xpos, np.float32)
+    gm = np.asarray(kin.geom_xmat, np.float32)
 
-    key = (width, height)
-    if key not in _FIG_CACHE:
-        fig = plt.figure(figsize=(width / 100, height / 100), dpi=100)
-        ax = fig.add_subplot(111, projection="3d")
-        _FIG_CACHE[key] = (fig, ax)
-    fig, ax = _FIG_CACHE[key]
-    ax.clear()
+    gtype, size, rgba, proxy_pos, proxy_quat = _scene_tables(model)
+    # fold mesh proxy transforms into world frames
+    pos = gx + np.einsum("nij,nj->ni", gm, proxy_pos)
+    mats = gm @ hq.to_mat(proxy_quat.astype(np.float64)).astype(np.float32)
 
-    root = gx[1] if model.ngeom > 1 else np.zeros(3)
-    for g in range(model.ngeom):
-        t = int(model.geom_type[g])
-        size = model.geom_size[g]
-        c = gx[g]
-        if t == PLANE:
-            xx, yy = np.meshgrid(np.linspace(root[0] - 2, root[0] + 2, 2),
-                                 np.linspace(root[1] - 2, root[1] + 2, 2))
-            ax.plot_surface(xx, yy, np.zeros_like(xx), alpha=0.15,
-                            color="green")
-        elif t == SPHERE:
-            ax.scatter(*c, s=(size[0] * 400) ** 2 * 0.25, color="tab:brown",
-                       alpha=0.8)
-        elif t in (CAPSULE, CYLINDER):
-            axis = gm[g][:, 2] * size[1]
-            p0, p1 = c - axis, c + axis
-            ax.plot(*zip(p0, p1), lw=max(1, size[0] * 100),
-                    color="tab:brown", solid_capstyle="round", alpha=0.9)
-        elif t == BOX:
-            corners = np.array([[sx, sy, sz] for sx in (-1, 1)
-                                for sy in (-1, 1) for sz in (-1, 1)])
-            pts = c + corners * size @ gm[g].T
-            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=4,
-                       color="tab:orange")
-        elif t == MESH:
-            ax.scatter(*c, s=16, color="tab:gray", alpha=0.5)
+    root = np.asarray(qpos[:3], np.float32) if model.nq >= 3 else np.zeros(3)
+    az = np.deg2rad(azimuth_deg)
+    cam = (root + np.array([np.cos(az) * distance, np.sin(az) * distance,
+                            1.0], np.float32)).astype(np.float32)
+    tgt = (root + np.array([0, 0, 0.2], np.float32)).astype(np.float32)
 
-    ax.set_xlim(root[0] - 1.2, root[0] + 1.2)
-    ax.set_ylim(root[1] - 1.2, root[1] + 1.2)
-    ax.set_zlim(0, 2.2)
-    ax.view_init(elev=12, azim=azimuth)
-    ax.set_axis_off()
+    from deepmimic_mujoco_tpu.native import rasterizer_lib
+
+    lib = rasterizer_lib()
+    if lib:
+        out = np.zeros((height, width, 3), np.uint8)
+        fp = lambda a: np.ascontiguousarray(a, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float))
+        lib.render_scene(
+            fp(pos), fp(mats), np.ascontiguousarray(gtype).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            fp(size), fp(rgba), ctypes.c_int(model.ngeom),
+            fp(cam), fp(tgt), ctypes.c_float(55.0),
+            ctypes.c_int(width), ctypes.c_int(height),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        frame = out
+    else:  # matplotlib fallback sketch
+        frame = _matplotlib_fallback(model, pos, mats, gtype, size,
+                                     root, width, height)
+
     if overlay:
-        ax.text2D(0.05, 0.95, overlay, transform=ax.transAxes,
-                  color="black", fontsize=10, family="monospace")
+        import cv2
 
-    if mode == "rgb_array" or mode is None:
-        fig.canvas.draw()
-        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
-        w, h = fig.canvas.get_width_height()
-        return buf.reshape(h, w, 4)[..., :3].copy()
-    if mode == "human":
-        import matplotlib.pyplot as plt  # pragma: no cover
+        frame = frame.copy()
+        cv2.putText(frame, overlay, (16, 28), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.7, (255, 255, 255), 2, cv2.LINE_AA)
+    if mode in ("rgb_array", None):
+        return frame
+    if mode == "human":  # pragma: no cover - interactive
+        import matplotlib.pyplot as plt
+
+        plt.imshow(frame)
         plt.pause(0.001)
         return None
     raise ValueError(f"unknown render mode {mode}")
 
 
+def _matplotlib_fallback(model, pos, mats, gtype, size, root,
+                         width, height):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(width / 100, height / 100), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    for g in range(model.ngeom):
+        if gtype[g] == PLANE:
+            continue
+        c = pos[g]
+        if gtype[g] == SPHERE:
+            ax.scatter(*c, s=(size[g, 0] * 400) ** 2 * 0.25,
+                       color="tab:brown")
+        elif gtype[g] in (CAPSULE, CYLINDER):
+            axis = mats[g][:, 2] * size[g, 1]
+            ax.plot(*zip(c - axis, c + axis), lw=max(1, size[g, 0] * 90),
+                    color="tab:brown", solid_capstyle="round")
+        elif gtype[g] == BOX:
+            ax.scatter(*c, s=40, color="tab:orange", marker="s")
+    ax.set_xlim(root[0] - 1.2, root[0] + 1.2)
+    ax.set_ylim(root[1] - 1.2, root[1] + 1.2)
+    ax.set_zlim(0, 2.2)
+    ax.set_axis_off()
+    fig.canvas.draw()
+    buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    w, h = fig.canvas.get_width_height()
+    plt.close(fig)
+    return buf.reshape(h, w, 4)[..., :3].copy()
+
+
 def frames_to_video(frames, path, fps: int = 24):
-    """Assemble frames into an mp4 (reference uses OpenCV for the eval
-    dashboard videos, src/sb3_ppo.py:86-99)."""
+    """Assemble frames into an mp4 (the reference uses OpenCV for the
+    eval dashboard videos, src/sb3_ppo.py:86-99)."""
     import cv2
 
     h, w = frames[0].shape[:2]

@@ -1,0 +1,139 @@
+"""DPCombinedEnv: state-machine transitions, rewards, batching.
+
+Mirrors the reference's combined-env semantics (src/combined_env.py):
+50/50 walk/getup RSI, 0.7*imitation + 0.3*task rewards, timer/success/
+fallen transitions, amnesty, obs layout with player-action encoding.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.envs import DPCombinedEnv
+from deepmimic_mujoco_tpu.envs.combined_env import (
+    GETUP, RUN, TO_GETUP, WALK, DONE_FALLEN_NO_AMNESTY,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return DPCombinedEnv(iterations=10)
+
+
+def test_obs_size(env):
+    # qpos 37 + qvel 37 + torso 8 + extra contact 8 + phase 1 + pa 7
+    assert env.obs_size == 37 + 37 + 8 + 8 + 1 + (2 + 3 + 2)
+    assert env.action_size == 23  # 37 motors - 14 hand motors
+
+
+def test_reset_distribution(env):
+    reset = jax.jit(jax.vmap(env.reset))
+    states, obs = reset(jax.random.split(jax.random.PRNGKey(0), 64))
+    mids = np.asarray(states.motion_id)
+    assert set(mids.tolist()) <= {WALK, GETUP}
+    assert 5 < (mids == WALK).sum() < 59  # ~50/50
+    # walk inits start past the amnesty window (reference :227)
+    walk_steps = np.asarray(states.n_steps)[mids == WALK]
+    assert (walk_steps >= env.ENV_CFG.AMNESTY_STEPS + 10).all()
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_perfect_tracking_combined(env):
+    """Forcing the walk-motion state: imitation ~1, locomotion task ~1,
+    total ~= 0.7 + 0.3 (reference reward mix :353-355)."""
+    step = jax.jit(lambda s, q, v: env.step(
+        s, jnp.zeros(env.action_size, jnp.float32), force_state=(q, v)))
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    state = state._replace(motion_id=jnp.asarray(WALK, jnp.int32),
+                           n_steps=jnp.asarray(0, jnp.int32))
+    rews = []
+    for _ in range(30):
+        q, v = env.get_current_motion_state(state)
+        state, out = step(state, q, v)
+        rews.append((float(out.reward), float(out.imitation_reward),
+                     float(out.task_reward)))
+    r = np.asarray(rews)
+    assert r[5:, 1].mean() > 0.95       # imitation
+    assert r[5:, 2].mean() > 0.9        # velocity-matching task
+    assert r[5:, 0].mean() > 0.9 * 0.7 + 0.85 * 0.3
+
+
+def test_to_getup_constant_target(env):
+    """TO_GETUP's mocap target is constant (getup frame 1) and its
+    imitation reward is zeroed (reference :348-352)."""
+    q0 = np.asarray(env.mocap_qpos[TO_GETUP, 0])
+    q50 = np.asarray(env.mocap_qpos[TO_GETUP, 50])
+    np.testing.assert_array_equal(q0, q50)
+    np.testing.assert_array_equal(q0, np.asarray(env.mocap_qpos[GETUP, 1]))
+
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state = state._replace(motion_id=jnp.asarray(TO_GETUP, jnp.int32),
+                           n_steps=jnp.asarray(5, jnp.int32))
+    q, v = env.get_current_motion_state(state)
+    state, out = env.step(state, jnp.zeros(env.action_size, jnp.float32),
+                          force_state=(q, v))
+    assert float(out.imitation_reward) == 0.0
+    assert float(out.task_reward) > 0.3  # exp(0)/3 at perfect config
+
+
+def test_getup_timeout_transition(env):
+    """Timer end: getup -> run (preserving the reference's
+    PAWalk()==PAWalk() identity-comparison quirk, :402)."""
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    L = int(env.motion_lengths[GETUP])
+    state = state._replace(motion_id=jnp.asarray(GETUP, jnp.int32),
+                           n_steps=jnp.asarray(L - 1, jnp.int32))
+    q, v = env.get_current_motion_state(state)
+    state, out = env.step(state, jnp.zeros(env.action_size, jnp.float32),
+                          force_state=(q, v))
+    assert int(state.motion_id) == RUN
+    assert int(state.n_steps) == 1  # reset to 0, then post-step +1
+
+
+def test_to_getup_success_transition(env):
+    """Pose matched within 15 deg -> to_getup becomes getup (:416-420)."""
+    state, _ = env.reset(jax.random.PRNGKey(2))
+    state = state._replace(motion_id=jnp.asarray(TO_GETUP, jnp.int32),
+                           n_steps=jnp.asarray(5, jnp.int32))
+    q, v = env.get_current_motion_state(state)  # exactly the target pose
+    state, out = env.step(state, jnp.zeros(env.action_size, jnp.float32),
+                          force_state=(q, v))
+    assert int(state.motion_id) == GETUP
+
+
+def test_fallen_without_amnesty_terminates(env):
+    state, _ = env.reset(jax.random.PRNGKey(4))
+    state = state._replace(motion_id=jnp.asarray(WALK, jnp.int32),
+                           n_steps=jnp.asarray(5, jnp.int32))  # no amnesty
+    q, _ = env.get_current_motion_state(state)
+    q = np.asarray(q).copy()
+    q[2] = 0.1  # collapsed
+    state, out = env.step(state, jnp.zeros(env.action_size, jnp.float32),
+                          force_state=(jnp.asarray(q), jnp.zeros(env.model.nv)))
+    assert bool(out.done)
+    assert int(out.done_reason) == DONE_FALLEN_NO_AMNESTY
+    assert int(state.motion_id) == TO_GETUP
+
+
+def test_fallen_with_amnesty_continues(env):
+    state, _ = env.reset(jax.random.PRNGKey(5))
+    state = state._replace(motion_id=jnp.asarray(WALK, jnp.int32),
+                           n_steps=jnp.asarray(400, jnp.int32))  # amnesty earned
+    q, _ = env.get_current_motion_state(state)
+    q = np.asarray(q).copy()
+    q[2] = 0.1
+    state, out = env.step(state, jnp.zeros(env.action_size, jnp.float32),
+                          force_state=(jnp.asarray(q), jnp.zeros(env.model.nv)))
+    assert not bool(out.done)
+    assert int(state.motion_id) == TO_GETUP
+
+
+def test_vmapped_auto_reset(env):
+    n = 8
+    states, obs = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(6), n))
+    step = jax.jit(jax.vmap(env.step_auto_reset))
+    for _ in range(2):
+        states, out = step(states, jnp.zeros((n, env.action_size)))
+    assert np.isfinite(np.asarray(out.obs)).all()

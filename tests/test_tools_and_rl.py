@@ -1,0 +1,150 @@
+"""Smoke/unit tests: renderer, gym wrapper, extracted policy, linalg,
+retarget continuity picker, checkpointing, PPO/SAC single iteration.
+
+Kept compile-light: tiny nets, few envs, reduced solver iterations.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def humanoid_env():
+    from deepmimic_mujoco_tpu.envs import DPEnv
+
+    return DPEnv(motion="walk", robot="humanoid3d", iterations=8)
+
+
+def test_linalg_spd_inverse():
+    from deepmimic_mujoco_tpu.physics import linalg
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(8, 20, 20)) * 0.2
+    M = np.einsum("bij,bkj->bik", A, A) + np.eye(20)
+    Minv = np.asarray(jax.jit(linalg.spd_inverse)(
+        jnp.asarray(M, jnp.float32)))
+    err = np.abs(M @ Minv - np.eye(20)).max()
+    assert err < 1e-4, err
+
+
+def test_native_renderer(humanoid_env):
+    from deepmimic_mujoco_tpu.tools.render import render_state
+
+    m = humanoid_env.model
+    q = np.zeros(m.nq)
+    q[2] = 0.9
+    q[3] = 1.0
+    frame = render_state(m, q, mode="rgb_array", overlay="test 1.23",
+                         width=160, height=120)
+    assert frame.shape == (120, 160, 3) and frame.dtype == np.uint8
+    # scene has sky, floor and body: substantial color variance
+    assert frame.std() > 20
+
+
+def test_gym_wrapper_roundtrip():
+    from deepmimic_mujoco_tpu.envs import GymDPEnv
+
+    env = GymDPEnv(motion="walk", robot="humanoid3d", iterations=8,
+                   crash_dump_dir="/tmp")
+    obs = env.reset_model(idx_init=3)
+    assert obs.shape == (env.env.obs_size,)
+    assert env.idx_curr == 3
+    obs, r, done, info = env.step(
+        np.zeros(env.action_space.shape[0]),
+        force_state=(env.mocap.qpos[3], env.mocap.qvel[3]))
+    assert r == pytest.approx(1.0, abs=1e-3)
+    assert "reward_config" in info
+    # crash dump on divergence
+    obs, r, done, info = env.step(
+        np.zeros(env.action_space.shape[0]),
+        force_state=(env.mocap.qpos[0], np.full(env.model.nv, 1e6)))
+    assert done and info["done_reason"] == "obs_out_of_bounds"
+    assert env.episode_debug_log.get("full_traceback")
+
+
+def test_extracted_policy_roundtrip(tmp_path):
+    from deepmimic_mujoco_tpu.rl.extracted_policy import (
+        ExtractedPolicy, extract_policy,
+    )
+    from deepmimic_mujoco_tpu.rl.networks import ActorCritic
+
+    net = ActorCritic(action_dim=6, net_arch=(16, 8))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(10))
+    obs = np.linspace(-1, 1, 10)
+    path = extract_policy(jax.tree.map(np.asarray, params), obs,
+                          str(tmp_path / "pol.npz"))
+    pol = ExtractedPolicy(path)
+    assert pol.test()
+    mean, _, _ = net.apply(params, jnp.asarray(obs, jnp.float32))
+    np.testing.assert_allclose(pol.act(obs), np.asarray(mean), atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from deepmimic_mujoco_tpu.rl import checkpoint as ck
+    from deepmimic_mujoco_tpu.rl.networks import ActorCritic
+
+    net = ActorCritic(action_dim=4, net_arch=(8,))
+    params = net.init(jax.random.PRNGKey(1), jnp.zeros(6))
+    path = ck.save_params(str(tmp_path / "p"), params)
+    restored = ck.restore_params(path, params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 jax.tree.map(np.asarray, params), restored)
+
+
+def test_retarget_continuity_picker():
+    from deepmimic_mujoco_tpu.tools.retarget import _continuity_pick
+    from deepmimic_mujoco_tpu.utils import hostquat as hq
+
+    lims = [(-1.5, 1.5), (-2.9, 2.7), (-2.6, 2.6)]
+    e = np.array([0.2, 0.3, -0.1])
+    q = hq.euler_to_quat_intrinsic(e, "xyz")
+    # within bounds: passthrough
+    out = _continuity_pick(e, e, lims, q, vmax=15.0, dt=0.0166)
+    np.testing.assert_allclose(out, e)
+    # far from previous: clamped into the velocity box
+    prev = np.array([-1.0, -1.0, 1.0])
+    out = _continuity_pick(e, prev, lims, q, vmax=1.0, dt=0.0166)
+    assert np.all(np.abs(out - prev) <= 1.0 * 0.0166 + 1e-9)
+
+
+def test_ppo_single_iteration(humanoid_env):
+    from deepmimic_mujoco_tpu.rl import PPO, PPOConfig
+
+    cfg = PPOConfig(n_envs=8, horizon=4, minibatch_size=8, epochs=1,
+                    net_arch=(16,))
+    ppo = PPO(humanoid_env, cfg)
+    ts = ppo.init(seed=0)
+    # the train iter donates its input state: snapshot params first
+    params0 = jax.tree.map(np.asarray, ts.params)
+    ts2, stats = ppo._train_iter(ts)
+    assert int(ts2.global_step) == 32
+    assert np.isfinite(float(stats.pg_loss))
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(jnp.asarray(a) - b).sum()),
+                     params0, ts2.params))
+    assert delta > 0
+
+
+def test_sac_single_iteration(humanoid_env):
+    from deepmimic_mujoco_tpu.rl.sac import SAC, SACConfig
+
+    cfg = SACConfig(n_envs=4, buffer_size=512, batch_size=16,
+                    steps_per_iter=4, updates_per_iter=2, net_arch=(16,))
+    sac = SAC(humanoid_env, cfg)
+    s = sac.init(seed=0)
+    s2, (r, closs, aloss) = sac._train_iter(s)
+    assert int(s2.global_step) == 16
+    assert np.isfinite(float(closs)) and np.isfinite(float(aloss))
+
+
+def test_profiling_stage_breakdown_smoke(humanoid_env):
+    from deepmimic_mujoco_tpu.tools.profiling import stage_breakdown
+
+    rows = stage_breakdown(humanoid_env, batch=4)
+    assert len(rows) == 7
+    assert all(t >= 0 for _, t, _ in rows)
