@@ -90,16 +90,15 @@ def rne(m: PhysicsModel, com: Com, cvel: jnp.ndarray,
 
 def passive_force(m: PhysicsModel, qpos: jnp.ndarray,
                   qvel: jnp.ndarray) -> jnp.ndarray:
-    """Spring + joint frictionloss forces. Viscous joint damping is NOT
-    included here: the Euler path integrates it implicitly and the RK4
-    path adds it explicitly (see integrate.py), matching the engine's
-    split. Frictionloss (a constraint in the reference engine) is
-    approximated by a smooth Coulomb torque ``-floss*tanh(v/0.005)``.
+    """Spring forces only. Viscous damping and joint frictionloss are
+    handled by the integrator (Euler: implicitly; RK4: explicitly with
+    a stability-bounded smooth Coulomb) — see Engine.forward. The
+    reference engine treats frictionloss as a constraint row; an
+    explicitly-integrated tanh approximation is violently unstable on
+    near-massless finger dofs (slope floss/eps >> 2*I/dt).
     """
     dtype = qvel.dtype
     frc = jnp.zeros(m.nv, dtype)
-    floss = jnp.asarray(m.dof_frictionloss, dtype)
-    frc = frc - floss * jnp.tanh(qvel / 0.005)
     if np.any(m.jnt_stiffness != 0):
         # hinge springs only (free-joint springs unused by these robots)
         for j in range(m.njnt):

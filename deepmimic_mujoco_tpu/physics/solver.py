@@ -15,12 +15,10 @@ rows with J = +-e_dof.
 
 TPU-first: fixed shapes (K contact slots * 3 rows + L limit slots),
 activity handled by masks, and the iteration is a fully vectorized
-under-relaxed projected Jacobi — no sequential per-contact sweep, so
-the whole solve vmaps over thousands of envs as batched matmuls. The
-relaxation default (0.15) was chosen empirically: strongly coupled
-rows (4 corners of one foot) diverge under Jacobi at Gauss-Seidel-like
-step sizes, and 0.15 x 50 iterations is stable across falling/contact-
-rich states while matching resting behavior.
+projected diagonal-scaled gradient whose step size comes from an
+in-solve power-iteration estimate of lambda_max(D^-1 A) — a fixed
+relaxation diverges once many rows couple (G1: ~130 rows through one
+tree). The whole solve vmaps over thousands of envs as batched matmuls.
 """
 from __future__ import annotations
 
@@ -57,9 +55,16 @@ def _impedance(solimp, pos):
     return jnp.clip(dmin + y * (dmax - dmin), 1e-5, 1.0 - 1e-5)
 
 
-def _kb(solref, solimp):
-    """(stiffness k, damping b) from solref=(timeconst, dampratio)."""
-    timeconst, dampratio = solref[..., 0], solref[..., 1]
+def _kb(solref, solimp, dt: float = 0.0):
+    """(stiffness k, damping b) from solref=(timeconst, dampratio).
+
+    Like the reference engine, the time constant is clamped to at least
+    2*timestep — without the clamp dt*b ~= 1.75 makes every loaded
+    contact a marginal discrete oscillator that pumps energy into the
+    tree (observed as G1 knees exploding under standing load).
+    """
+    timeconst = jnp.maximum(solref[..., 0], 2.0 * dt)
+    dampratio = solref[..., 1]
     dmax = solimp[..., 1]
     b = 2.0 / jnp.maximum(dmax * timeconst, 1e-10)
     k = 1.0 / jnp.maximum(
@@ -94,6 +99,7 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
     """``Minv`` is the (explicit) inverse mass matrix — see
     physics/linalg.py for why an explicit inverse beats triangular
     solves for batched tiny systems on TPU."""
+    dt = m.opt.timestep
     dtype = qacc_smooth.dtype
     nv = m.nv
     K = contacts.dist.shape[0]
@@ -103,7 +109,7 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
     pos_c = contacts.dist - contacts.includemargin
     active_c = pos_c < 0.0
     imp_c = _impedance(contacts.solimp, pos_c)
-    k_c, b_c = _kb(contacts.solref, contacts.solimp)
+    k_c, b_c = _kb(contacts.solref, contacts.solimp, dt)
     vel_c = jnp.einsum("krn,n->kr", Jc, qvel)
     normal_sel = jnp.asarray([1.0, 0.0, 0.0], dtype)
     aref_c = -b_c[:, None] * vel_c - (k_c * imp_c * pos_c)[:, None] * normal_sel
@@ -129,7 +135,7 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
         solimp_l = jnp.asarray(np.tile(_LIMIT_SOLIMP, (L, 1)), dtype)
         solref_l = jnp.asarray(np.tile(_LIMIT_SOLREF, (L, 1)), dtype)
         imp_l = _impedance(solimp_l, pos_l)
-        k_l, b_l = _kb(solref_l, solimp_l)
+        k_l, b_l = _kb(solref_l, solimp_l, dt)
         vel_l = sign * vj
         aref_l = -b_l * vel_l - k_l * imp_l * pos_l
         Jl = jnp.zeros((L, nv), dtype).at[
@@ -189,6 +195,21 @@ def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
     Ahat, b_vec, inv_diag, activef, mu = jax.lax.optimization_barrier(
         (Ahat, b_vec, inv_diag, activef, mu))
 
+    # adaptive step: projected diagonal-scaled gradient converges for
+    # step < 2/lambda_max(D^-1 A); with many coupled rows (G1: ~130)
+    # lambda_max reaches 10-30 and any fixed relaxation diverges.
+    # Estimate the spectral radius by power iteration on the active
+    # sub-system and take a safe fraction of its inverse.
+    def power(_, vec):
+        w = inv_diag * (Ahat @ (vec * activef)) * activef
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+
+    v0 = activef / jnp.maximum(jnp.linalg.norm(activef), 1e-12)
+    ve = jax.lax.fori_loop(0, 12, power, v0)
+    lam_max = jnp.maximum(jnp.linalg.norm(
+        inv_diag * (Ahat @ (ve * activef)) * activef), 1.0)
+    step = jnp.minimum(1.5 / lam_max, 1.0)
+
     def project(lam):
         n = jnp.maximum(lam[:K], 0.0)
         t1 = lam[K:2 * K]
@@ -203,7 +224,7 @@ def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
 
     def sweep(_, lam):
         grad = Ahat @ lam + b_vec
-        return project(lam - relaxation * inv_diag * grad)
+        return project(lam - step * inv_diag * grad)
 
     return jax.lax.fori_loop(0, iterations, sweep,
                              jnp.zeros(Ahat.shape[0], dtype))
