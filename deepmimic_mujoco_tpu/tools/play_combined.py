@@ -1,0 +1,86 @@
+"""Combined-env demo / playback (reference: src/combined_env.py:536-550).
+
+Warm-starts the state machine by force-tracking the current motion for
+the first N steps, then hands control to a policy (checkpoint params)
+or small random actions; prints transitions and the episode reward.
+
+Usage: python -m deepmimic_mujoco_tpu.tools.play_combined
+           [--checkpoint params_dir] [--steps 2000] [--video out.mp4]
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--warmstart", type=int, default=500)
+    p.add_argument("--video", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.envs import DPCombinedEnv
+    from deepmimic_mujoco_tpu.envs.combined_env import MOTION_NAMES
+
+    env = DPCombinedEnv()
+    if args.checkpoint:
+        from deepmimic_mujoco_tpu.rl import networks
+        from deepmimic_mujoco_tpu.rl.checkpoint import restore_params
+
+        net = networks.ActorCritic(env.action_size)
+        tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros(env.obs_size))
+        params = restore_params(args.checkpoint, tmpl)
+        fwd = jax.jit(lambda o: net.apply(params, o)[0])
+        policy = lambda o, rng: np.asarray(fwd(jnp.asarray(o, jnp.float32)))
+    else:
+        policy = lambda o, rng: rng.uniform(
+            -0.1, 0.1, env.action_size).astype(np.float32)
+        print("No checkpoint: playing small random actions")
+
+    rng = np.random.default_rng(args.seed)
+    step = jax.jit(env.step)
+    step_force = jax.jit(lambda s, a, q, v: env.step(s, a, force_state=(q, v)))
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(args.seed))
+    ep_rew = 0.0
+    frames = []
+    last_motion = int(state.motion_id)
+    print("start motion:", MOTION_NAMES[last_motion])
+    for i in range(args.steps):
+        a = jnp.asarray(policy(np.asarray(obs), rng))
+        if i < args.warmstart:
+            q, v = env.get_current_motion_state(state)
+            state, out = step_force(state, a, q, v)
+        else:
+            state, out = step(state, a)
+        obs = out.obs
+        ep_rew += float(out.reward)
+        mid = int(state.motion_id)
+        if mid != last_motion:
+            print(f"step {i}: changing to motion: {MOTION_NAMES[mid]}")
+            last_motion = mid
+        if args.video and i % 4 == 0:
+            from deepmimic_mujoco_tpu.tools.render import render_state
+
+            frames.append(render_state(
+                env.model, np.asarray(state.qpos), mode="rgb_array",
+                overlay=f"{MOTION_NAMES[mid][-8:]} {i:>5} {ep_rew:>8.2f}"))
+        if bool(out.done):
+            print("done at", i, "reason code", int(out.done_reason))
+            break
+    print(f"Episode reward: {ep_rew:.2f}")
+    if args.video and frames:
+        from deepmimic_mujoco_tpu.tools.render import frames_to_video
+
+        print("Saved", frames_to_video(frames, args.video))
+    return ep_rew
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,32 @@ def trace(env, out_dir: str = "/tmp/dm_tpu_trace", batch: int = 1024,
     print("xprof trace written to", out_dir)
 
 
+def plot_results(rows, path: str, kind: str):
+    """Bar chart of stage times or throughput sweep (the reference
+    renders its profiling logs as a Gantt chart,
+    src/plot_profiling.py:831-868)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    if kind == "stages":
+        names = [r[0] for r in rows]
+        vals = [r[1] for r in rows]
+        ax.barh(names, vals, color="tab:blue")
+        ax.set_xlabel("ms per batch step")
+    else:
+        names = [str(r[0]) for r in rows]
+        vals = [r[1] for r in rows]
+        ax.bar(names, vals, color="tab:green")
+        ax.set_xlabel("batch size")
+        ax.set_ylabel("env-steps/s")
+    fig.tight_layout()
+    fig.savefig(path)
+    print("plot saved to", path)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="stages",
@@ -139,6 +165,8 @@ def main(argv=None):
     p.add_argument("--motion", default="walk")
     p.add_argument("--robot", default="humanoid3d")
     p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--plot", default=None,
+                   help="save a chart of the results to this path")
     args = p.parse_args(argv)
 
     from deepmimic_mujoco_tpu.envs import DPCombinedEnv, DPEnv
@@ -146,9 +174,13 @@ def main(argv=None):
     env = (DPEnv(motion=args.motion, robot=args.robot)
            if args.env == "deep_mimic_mujoco" else DPCombinedEnv())
     if args.mode == "stages":
-        stage_breakdown(env, args.batch)
+        rows = stage_breakdown(env, args.batch)
+        if args.plot:
+            plot_results(rows, args.plot, "stages")
     elif args.mode == "sweep":
-        throughput_sweep(env)
+        rows = throughput_sweep(env)
+        if args.plot:
+            plot_results(rows, args.plot, "sweep")
     else:
         trace(env, batch=args.batch)
 
