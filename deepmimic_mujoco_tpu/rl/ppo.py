@@ -38,6 +38,10 @@ class PPOConfig:
     vf_coef: float = 0.5
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
+    # SB3-style KL guard: minibatch updates are masked out once the
+    # approximate KL exceeds this (None = off). Inside one jitted scan a
+    # true early-break is awkward; masking is equivalent in effect.
+    target_kl: Optional[float] = None
     net_arch: tuple = (256, 128)
     total_timesteps: int = 500_000_000
 
@@ -186,6 +190,10 @@ class PPO:
                       flat.value[idx], adv_flat[idx], ret_flat[idx])
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb)
+                if cfg.target_kl is not None:
+                    kl = aux[3]
+                    ok = (kl < cfg.target_kl).astype(jnp.float32)
+                    grads = jax.tree.map(lambda g: g * ok, grads)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
