@@ -76,30 +76,6 @@ class Engine:
             self.tables = calibrate_proxy_gaps(model, self.tables, calib)
         self.body_dof = dynamics.body_dof_mask(model)
         self.limit_table = dynamics.limited_hinge_table(model)
-        self._empty_limits = (np.zeros(0, np.int64), np.zeros(0, np.int64),
-                              np.zeros(0), np.zeros(0))
-        # static per-limited-dof inertia (mass-matrix diagonal at the
-        # calibration pose) for acceleration->force scaling of the
-        # closed-form limit springs
-        self._limit_inertia = self._calc_limit_inertia(model)
-
-    @staticmethod
-    def _calc_limit_inertia(model: PhysicsModel) -> np.ndarray:
-        import jax
-
-        from deepmimic_mujoco_tpu.physics.kinematics import (
-            com_pos, fwd_kinematics,
-        )
-
-        ld, _, _, _ = dynamics.limited_hinge_table(model)
-        if len(ld) == 0:
-            return np.zeros(0)
-        calib = (model.key_qpos[0] if model.key_qpos is not None
-                 else _neutral_qpos(model))
-        M = jax.jit(lambda q: dynamics.crb(
-            model, com_pos(model, fwd_kinematics(model, q))))(
-            jnp.asarray(calib, jnp.float32))
-        return np.asarray(jnp.diag(M), np.float64)[np.asarray(ld)]
 
     # ---- stages -------------------------------------------------------
     def position_stage(self, qpos):
@@ -216,45 +192,6 @@ class Engine:
         qvel_new = qvel + d.qacc * h
         qpos_new = self.integrate_pos(qpos, qvel_new, h)
         return qpos_new, qvel_new, d
-
-    def _limit_spring(self, qpos, qvel):
-        """(force, implicit damping coef) per dof for joint limits.
-
-        KBI semantics (solref (0.02, 1), solimp defaults) like the
-        reference engine's limit constraints, but solved in closed form
-        per dof. Forces are scaled by the joint's (armature-included)
-        diagonal inertia so the KBI gains stay acceleration-shaped.
-        """
-        m = self.m
-        ld, lq, llo, lhi = self.limit_table
-        dtype = qpos.dtype
-        force = jnp.zeros(m.nv, dtype)
-        c_lim = jnp.zeros(m.nv, dtype)
-        if len(ld) == 0:
-            return force, c_lim
-        qj = qpos[np.asarray(lq)]
-        vj = qvel[np.asarray(ld)]
-        dist_lo = qj - jnp.asarray(llo, dtype)
-        dist_hi = jnp.asarray(lhi, dtype) - qj
-        use_lo = dist_lo < dist_hi
-        pos = jnp.where(use_lo, dist_lo, dist_hi)   # negative = violated
-        sign = jnp.where(use_lo, 1.0, -1.0)
-        active = (pos < 0.0).astype(dtype)
-        from deepmimic_mujoco_tpu.physics.solver import _impedance, _kb
-
-        solimp = jnp.asarray(np.tile((0.9, 0.95, 0.001, 0.5, 2.0),
-                                     (len(ld), 1)), dtype)
-        solref = jnp.asarray(np.tile((0.02, 1.0), (len(ld), 1)), dtype)
-        imp = _impedance(solimp, pos)
-        k, b = _kb(solref, solimp)
-        # per-dof inertia scale (armature + diag of a nominal M is not
-        # available here cheaply; armature dominates the small dofs)
-        inertia = jnp.asarray(self._limit_inertia, dtype)
-        acc_spring = -k * imp * pos * active          # >= 0 toward interior
-        frc = sign * acc_spring * inertia
-        force = force.at[np.asarray(ld)].add(frc)
-        c_lim = c_lim.at[np.asarray(ld)].add(b * active * inertia)
-        return force, c_lim
 
     def data_view(self, qpos, qvel) -> EngineData:
         """Position+velocity stage fields only (no dynamics), mirroring
