@@ -7,4 +7,6 @@ from deepmimic_mujoco_tpu.envs.combined_env import (  # noqa: F401
 from deepmimic_mujoco_tpu.envs.dp_env import (  # noqa: F401
     DONE_REASON_NAMES, DPEnv, DPEnvState, StepOut,
 )
-from deepmimic_mujoco_tpu.envs.gym_wrapper import GymDPEnv  # noqa: F401
+from deepmimic_mujoco_tpu.envs.gym_wrapper import (  # noqa: F401
+    GymDPCombinedEnv, GymDPEnv,
+)

@@ -171,3 +171,86 @@ class GymDPEnv:
             json.dump(self.episode_debug_log, f, indent=4)
         print(f"Divergence detected, debug log written to {path}")
         return path
+
+
+class GymDPCombinedEnv:
+    """Host-facing wrapper for the combined env, mirroring the
+    reference's DPCombinedEnv gym surface (reset/step/render,
+    imitation/task rewards in info; src/combined_env.py:102-533)."""
+
+    def __init__(self, seed: int = 0, **kwargs):
+        from deepmimic_mujoco_tpu.envs.combined_env import (
+            DPCombinedEnv, MOTION_NAMES,
+        )
+
+        self.env = DPCombinedEnv(**kwargs)
+        self.version = self.env.version
+        self.ENV_CFG = self.env.ENV_CFG
+        self.model = self.env.model
+        self._motion_names = MOTION_NAMES
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._jit_reset = jax.jit(self.env.reset)
+        self._jit_step = jax.jit(self.env.step)
+        self._jit_step_force = jax.jit(
+            lambda s, a, q, v: self.env.step(s, a, force_state=(q, v)))
+        n = self.env.action_size
+        lim = np.full(n, 2.0 / self.ENV_CFG.ACT_SCALE, np.float32)
+        self.action_space = Box(low=-lim * self.ENV_CFG.ACT_SCALE / 2,
+                                high=lim * self.ENV_CFG.ACT_SCALE / 2)
+        self.observation_space = Box(
+            low=np.full(self.env.obs_size, -np.inf, np.float32),
+            high=np.full(self.env.obs_size, np.inf, np.float32))
+
+    @property
+    def current_motion_name(self):
+        return self._motion_names[int(self._state.motion_id)]
+
+    @property
+    def episode_reward(self):
+        return float(self._state.episode_reward) if self._state else 0.0
+
+    @property
+    def episode_length(self):
+        return int(self._state.episode_length) if self._state else 0
+
+    def reset(self):
+        self._key, sub = jax.random.split(self._key)
+        self._state, obs = self._jit_reset(sub)
+        return np.asarray(obs)
+
+    def get_current_motion_state(self):
+        q, v = self.env.get_current_motion_state(self._state)
+        return np.asarray(q), np.asarray(v)
+
+    def step(self, action, force_state=None):
+        a = jnp.asarray(np.asarray(action, np.float32))
+        if force_state is not None:
+            q, v = force_state
+            self._state, out = self._jit_step_force(
+                self._state, a, jnp.asarray(np.asarray(q, np.float32)),
+                jnp.asarray(np.asarray(v, np.float32)))
+        else:
+            self._state, out = self._jit_step(self._state, a)
+        info = {
+            "imitation_reward": float(out.imitation_reward),
+            "task_reward": float(out.task_reward),
+        }
+        reason = DONE_REASON_NAMES.get(int(out.done_reason))
+        if int(out.done_reason) == 10:
+            reason = "fallen without amnesty"
+        if reason:
+            info["done_reason"] = reason
+        return (np.asarray(out.obs), float(out.reward), bool(out.done),
+                info)
+
+    def render(self, mode=None):
+        from deepmimic_mujoco_tpu.tools.render import render_state
+
+        return render_state(
+            self.model, np.asarray(self._state.qpos), mode=mode,
+            overlay=f"{self.current_motion_name[-8:]} "
+                    f"{self.episode_length:>5} {self.episode_reward:>7.2f}")
+
+    def close(self):
+        pass

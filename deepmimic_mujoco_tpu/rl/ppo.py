@@ -77,6 +77,8 @@ class IterStats(NamedTuple):
     entropy: jnp.ndarray
     approx_kl: jnp.ndarray
     clip_frac: jnp.ndarray
+    log_std_mean: jnp.ndarray    # collapse diagnostics
+    v_loss_max: jnp.ndarray
 
 
 class PPO:
@@ -220,7 +222,9 @@ class PPO:
             mean_reward=mean_r.mean(), ep_return_sum=ep_ret_sum.sum(),
             ep_count=ep_cnt.sum(), ep_len_sum=ep_len_sum.sum(),
             pg_loss=pg_loss, v_loss=v_loss, entropy=ent, approx_kl=kl,
-            clip_frac=clipfrac)
+            clip_frac=clipfrac,
+            log_std_mean=params["params"]["log_std"].mean(),
+            v_loss_max=jax.tree.map(lambda x: x.max(), aux)[1])
         return new_ts, it_stats
 
     # ---- host loop -------------------------------------------------------

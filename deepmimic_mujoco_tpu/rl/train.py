@@ -122,6 +122,8 @@ def main(argv=None):
             "pg_loss": float(stats.pg_loss), "v_loss": float(stats.v_loss),
             "entropy": float(stats.entropy),
             "approx_kl": float(stats.approx_kl),
+            "log_std_mean": float(stats.log_std_mean),
+            "v_loss_max": float(stats.v_loss_max),
         })
         if it % eval_every_iters == 0:
             evaluator.queue_eval(ts.params, gstep)
