@@ -19,6 +19,7 @@ from flax import linen as nn
 class ActorCritic(nn.Module):
     action_dim: int
     net_arch: Sequence[int] = (256, 128)
+    init_log_std: float = 0.0  # SB3 default; lower for torque control
 
     @nn.compact
     def __call__(self, obs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -33,8 +34,10 @@ class ActorCritic(nn.Module):
             v = nn.tanh(nn.Dense(w, kernel_init=ortho(jnp.sqrt(2)))(v))
         value = nn.Dense(1, kernel_init=ortho(1.0))(v)[..., 0]
 
-        log_std = self.param("log_std", nn.initializers.zeros,
-                             (self.action_dim,))
+        log_std = self.param(
+            "log_std",
+            nn.initializers.constant(self.init_log_std),
+            (self.action_dim,))
         return mean, log_std, value
 
 

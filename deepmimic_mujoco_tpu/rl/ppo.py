@@ -42,6 +42,7 @@ class PPOConfig:
     # approximate KL exceeds this (None = off). Inside one jitted scan a
     # true early-break is awkward; masking is equivalent in effect.
     target_kl: Optional[float] = None
+    init_log_std: float = 0.0
     net_arch: tuple = (256, 128)
     total_timesteps: int = 500_000_000
 
@@ -87,8 +88,9 @@ class PPO:
     def __init__(self, env, cfg: Optional[PPOConfig] = None):
         self.env = env
         self.cfg = cfg or PPOConfig()
-        self.net = networks.ActorCritic(env.action_size,
-                                        net_arch=tuple(self.cfg.net_arch))
+        self.net = networks.ActorCritic(
+            env.action_size, net_arch=tuple(self.cfg.net_arch),
+            init_log_std=self.cfg.init_log_std)
         tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.max_grad_norm),
             optax.adam(self.cfg.lr),

@@ -30,6 +30,7 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--target-kl", type=float, default=None)
+    p.add_argument("--init-log-std", type=float, default=0.0)
     p.add_argument("--total", type=int, default=500 * M)
     p.add_argument("--eval-every", type=int, default=500_000)
     p.add_argument("--preset", default="sb3",
@@ -67,7 +68,8 @@ def main(argv=None):
         cfg = PPOConfig(n_envs=args.n_envs, horizon=args.horizon,
                         minibatch_size=args.minibatch, epochs=args.epochs,
                         lr=args.lr, total_timesteps=args.total,
-                        target_kl=args.target_kl)
+                        target_kl=args.target_kl,
+                        init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
 
     run_name = "test" + time.strftime("%Y%m%d-%H%M_%S")
