@@ -58,13 +58,11 @@ class GymDPEnv:
             lambda k, i: self.env.reset(k, idx_init=i))
         self._jit_reset = jax.jit(self.env.reset)
 
+        # reference DPEnv: raw ctrlrange of the first N motors (hand
+        # motors dropped), NOT scaled (src/deepmimic_env.py:305-307)
         n = self.env.action_size
-        self.action_space = Box(low=-np.ones(n, np.float32) * 2 / self.env.spec.act_scale
-                                if robot == "unitree_g1"
-                                else -np.full(n, 2.0, np.float32),
-                                high=np.ones(n, np.float32) * 2 / self.env.spec.act_scale
-                                if robot == "unitree_g1"
-                                else np.full(n, 2.0, np.float32))
+        cr = np.asarray(self.model.actuator_ctrlrange, np.float32)[:n]
+        self.action_space = Box(low=cr[:, 0].copy(), high=cr[:, 1].copy())
         self.observation_space = Box(
             low=np.full(self.env.obs_size, -np.inf, np.float32),
             high=np.full(self.env.obs_size, np.inf, np.float32))
@@ -194,10 +192,12 @@ class GymDPCombinedEnv:
         self._jit_step = jax.jit(self.env.step)
         self._jit_step_force = jax.jit(
             lambda s, a, q, v: self.env.step(s, a, force_state=(q, v)))
+        # reference combined env: ctrlrange / ACT_SCALE
+        # (src/combined_env.py:196-200)
         n = self.env.action_size
-        lim = np.full(n, 2.0 / self.ENV_CFG.ACT_SCALE, np.float32)
-        self.action_space = Box(low=-lim * self.ENV_CFG.ACT_SCALE / 2,
-                                high=lim * self.ENV_CFG.ACT_SCALE / 2)
+        cr = np.asarray(self.model.actuator_ctrlrange, np.float32)[:n]
+        s = self.ENV_CFG.ACT_SCALE
+        self.action_space = Box(low=cr[:, 0] / s, high=cr[:, 1] / s)
         self.observation_space = Box(
             low=np.full(self.env.obs_size, -np.inf, np.float32),
             high=np.full(self.env.obs_size, np.inf, np.float32))
