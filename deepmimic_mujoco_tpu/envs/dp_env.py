@@ -17,7 +17,8 @@ Divergence handling: the reference catches native-engine exceptions and
 writes a JSON dump (src/deepmimic_env.py:366-378). Inside jit nothing
 raises; non-finite state or |obs|>100 zeroes the observation and
 terminates with a machine-readable done_reason, and the host-side crash
-logger (tools/crashdump.py) mirrors the JSON dump behavior.
+logger (envs/gym_wrapper.py `_dump_crash_log`) mirrors the JSON dump
+behavior; tools/check_debug_log.py replays the dumps.
 """
 from __future__ import annotations
 

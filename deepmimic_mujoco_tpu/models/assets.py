@@ -1,15 +1,20 @@
 """Asset path resolution (MJCF robot models + mocap clips).
 
-The framework treats robot MJCF files, STL meshes and mocap clips as
-user data; it does not vendor them. Paths resolve under
-``DM_TPU_ASSET_ROOT`` (a directory laid out like the reference's
+Robot MJCF files, STL meshes and the 21 mocap clips are vendored under
+``deepmimic_mujoco_tpu/assets`` (same layout as the reference's
 ``src/mujoco``: ``humanoid_deepmimic/envs/asset/*.xml`` and
-``motions/*.txt``; reference: src/config.py:26-48).
+``motions/*.txt``; reference: src/config.py:26-48) so the framework is
+fully self-contained. ``DM_TPU_ASSET_ROOT`` overrides the vendored
+root, e.g. to point at a user's own robot/clip library.
 """
 import os
 
+_VENDORED_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
+
 _DEFAULT_ROOTS = (
     os.environ.get("DM_TPU_ASSET_ROOT", ""),
+    _VENDORED_ROOT,
     "/root/reference/src/mujoco",
     os.path.expanduser("~/Code/DeepMimic_mujoco/src/mujoco"),
 )
