@@ -20,6 +20,11 @@ class ActorCritic(nn.Module):
     action_dim: int
     net_arch: Sequence[int] = (256, 128)
     init_log_std: float = 0.0  # SB3 default; lower for torque control
+    # Clamp on the log-std parameter (SB3 leaves it unbounded; bounding
+    # it prevents exploration collapse -> ratio/KL explosion in long
+    # runs without changing well-behaved training).
+    log_std_min: float = -4.0
+    log_std_max: float = 1.0
 
     @nn.compact
     def __call__(self, obs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -38,6 +43,7 @@ class ActorCritic(nn.Module):
             "log_std",
             nn.initializers.constant(self.init_log_std),
             (self.action_dim,))
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         return mean, log_std, value
 
 

@@ -38,10 +38,27 @@ class PPOConfig:
     vf_coef: float = 0.5
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
-    # SB3-style KL guard: minibatch updates are masked out once the
-    # approximate KL exceeds this (None = off). Inside one jitted scan a
-    # true early-break is awkward; masking is equivalent in effect.
+    # SB3-style KL guard (src/sb3_ppo.py uses SB3 defaults): after each
+    # epoch, if that epoch's mean approximate KL exceeds 1.5*target_kl,
+    # the REMAINING epochs of this iteration are masked out. Unlike the
+    # round-1 per-minibatch masking, the first epoch always applies, so
+    # a policy can never be permanently frozen (it matches SB3's
+    # early-break semantics inside one jitted scan).
     target_kl: Optional[float] = None
+    # Linear lr decay to lr*lr_final_frac over total_timesteps
+    # (SB3 `learning_rate=linear_schedule` idiom); 1.0 = constant.
+    lr_final_frac: float = 1.0
+    # PPO value clipping around the rollout value (SB3 clip_range_vf).
+    clip_vf: Optional[float] = None
+    # Floor on the per-minibatch advantage std: prevents noise blow-up
+    # when advantages degenerate late in training.
+    adv_std_floor: float = 1e-3
+    # Bounds on the state-independent log-std parameter: stops
+    # exploration from collapsing to a delta (ratio/KL explosion) or
+    # diverging.
+    log_std_min: float = -4.0
+    log_std_max: float = 1.0
+    adam_eps: float = 1e-5  # torch.optim.Adam default used by SB3
     init_log_std: float = 0.0
     net_arch: tuple = (256, 128)
     total_timesteps: int = 500_000_000
@@ -90,10 +107,22 @@ class PPO:
         self.cfg = cfg or PPOConfig()
         self.net = networks.ActorCritic(
             env.action_size, net_arch=tuple(self.cfg.net_arch),
-            init_log_std=self.cfg.init_log_std)
+            init_log_std=self.cfg.init_log_std,
+            log_std_min=self.cfg.log_std_min,
+            log_std_max=self.cfg.log_std_max)
+        cfg = self.cfg
+        n_updates_per_iter = cfg.epochs * max(
+            (cfg.horizon * cfg.n_envs) // cfg.minibatch_size, 1)
+        n_iters = max(cfg.total_timesteps // (cfg.horizon * cfg.n_envs), 1)
+        if cfg.lr_final_frac != 1.0:
+            lr = optax.linear_schedule(
+                cfg.lr, cfg.lr * cfg.lr_final_frac,
+                n_iters * n_updates_per_iter)
+        else:
+            lr = cfg.lr
         tx = optax.chain(
-            optax.clip_by_global_norm(self.cfg.max_grad_norm),
-            optax.adam(self.cfg.lr),
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(lr, eps=cfg.adam_eps),
         )
         self.tx = tx
         self._train_iter = jax.jit(self._train_iter_impl, donate_argnums=0)
@@ -172,11 +201,20 @@ class PPO:
             mean, log_std, value = net.apply(params, obs)
             logp = networks.gaussian_logp(action, mean, log_std)
             ratio = jnp.exp(logp - old_logp)
-            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+            adv_n = (adv - adv.mean()) / jnp.maximum(
+                adv.std(), cfg.adv_std_floor)
             pg1 = -adv_n * ratio
             pg2 = -adv_n * jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps)
             pg_loss = jnp.maximum(pg1, pg2).mean()
-            v_loss = 0.5 * ((value - ret) ** 2).mean()
+            if cfg.clip_vf is not None:
+                # SB3 clip_range_vf: bound the value update around the
+                # rollout-time prediction; pessimistic max of the two.
+                v_clipped = old_value + jnp.clip(
+                    value - old_value, -cfg.clip_vf, cfg.clip_vf)
+                v_loss = 0.5 * jnp.maximum(
+                    (value - ret) ** 2, (v_clipped - ret) ** 2).mean()
+            else:
+                v_loss = 0.5 * ((value - ret) ** 2).mean()
             ent = networks.gaussian_entropy(log_std).mean()
             total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
             kl = ((ratio - 1) - jnp.log(ratio)).mean()
@@ -184,7 +222,7 @@ class PPO:
             return total, (pg_loss, v_loss, ent, kl, clipfrac)
 
         def epoch_step(carry, _):
-            params, opt_state, key = carry
+            params, opt_state, key, stopped = carry
             key, pkey = jax.random.split(key)
             perm = jax.random.permutation(pkey, B)
 
@@ -194,10 +232,11 @@ class PPO:
                       flat.value[idx], adv_flat[idx], ret_flat[idx])
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb)
-                if cfg.target_kl is not None:
-                    kl = aux[3]
-                    ok = (kl < cfg.target_kl).astype(jnp.float32)
-                    grads = jax.tree.map(lambda g: g * ok, grads)
+                # When the KL guard has tripped, skip the remaining
+                # epochs' updates entirely (grads zeroed; SB3 breaks
+                # out of the epoch loop — first epoch always applies).
+                live = 1.0 - stopped
+                grads = jax.tree.map(lambda g: g * live, grads)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
@@ -206,11 +245,17 @@ class PPO:
                 n_minibatches, cfg.minibatch_size)
             (params, opt_state), aux = jax.lax.scan(
                 mb_step, (params, opt_state), idxs)
-            return (params, opt_state, key), aux
+            if cfg.target_kl is not None:
+                epoch_kl = aux[3].mean()
+                stopped = jnp.maximum(
+                    stopped,
+                    (epoch_kl > 1.5 * cfg.target_kl).astype(jnp.float32))
+            return (params, opt_state, key, stopped), aux
 
-        (params, opt_state, key), aux = jax.lax.scan(
-            epoch_step, (ts.params, ts.opt_state, key), None,
-            length=cfg.epochs)
+        (params, opt_state, key, _), aux = jax.lax.scan(
+            epoch_step,
+            (ts.params, ts.opt_state, key, jnp.zeros((), jnp.float32)),
+            None, length=cfg.epochs)
         pg_loss, v_loss, ent, kl, clipfrac = jax.tree.map(
             lambda x: x.mean(), aux)
 
@@ -231,10 +276,19 @@ class PPO:
 
     # ---- host loop -------------------------------------------------------
     def train(self, total_timesteps: Optional[int] = None, seed: int = 0,
-              callback=None, log_every: int = 1, verbose: bool = True):
+              callback=None, log_every: int = 1, verbose: bool = True,
+              init_params=None):
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps
         ts = self.init(seed)
+        if init_params is not None:
+            # Warm start (curriculum fine-tuning): adopt pretrained
+            # policy/value params, keep fresh optimizer/env state.
+            init_params = jax.tree.map(jnp.asarray, init_params)
+            chex_tree = jax.tree.structure(ts.params)
+            assert jax.tree.structure(init_params) == chex_tree, (
+                "init_params tree structure mismatch")
+            ts = ts._replace(params=init_params)
         steps_per_iter = cfg.horizon * cfg.n_envs
         n_iters = max(total // steps_per_iter, 1)
         t0 = time.time()

@@ -30,7 +30,15 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--target-kl", type=float, default=None)
+    p.add_argument("--lr-final-frac", type=float, default=1.0,
+                   help="linear lr decay to lr*frac over the run")
+    p.add_argument("--clip-vf", type=float, default=None)
     p.add_argument("--init-log-std", type=float, default=0.0)
+    p.add_argument("--init-params", default=None,
+                   help="warm-start policy/value params from a "
+                        "params-only checkpoint (e.g. an eval 'best' "
+                        "dir) — curriculum fine-tuning")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--total", type=int, default=500 * M)
     p.add_argument("--eval-every", type=int, default=500_000)
     p.add_argument("--preset", default="sb3",
@@ -69,8 +77,15 @@ def main(argv=None):
                         minibatch_size=args.minibatch, epochs=args.epochs,
                         lr=args.lr, total_timesteps=args.total,
                         target_kl=args.target_kl,
+                        lr_final_frac=args.lr_final_frac,
+                        clip_vf=args.clip_vf,
                         init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
+    init_params = None
+    if args.init_params:
+        init_params = checkpoint.restore_params(
+            os.path.expanduser(args.init_params))
+        print("Warm-starting params from", args.init_params)
 
     run_name = "test" + time.strftime("%Y%m%d-%H%M_%S")
     config = {
@@ -132,7 +147,8 @@ def main(argv=None):
 
     print("Begin Learn")
     print("-----------")
-    ts = ppo.train(total_timesteps=args.total, callback=callback)
+    ts = ppo.train(total_timesteps=args.total, callback=callback,
+                   seed=args.seed, init_params=init_params)
     path = checkpoint.save(os.path.join(out_dir, run_name), ts)
     print("Saved final checkpoint to", path)
     return ts
