@@ -29,40 +29,49 @@ def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
     ``idx_init=None`` uses reference-state initialization like the
     reference's eval (a pinned frame 0 is a standing start the policy
     never trains from and badly underestimates performance).
+
+    The whole episode is ONE jitted ``lax.scan`` (single device
+    dispatch): the per-step host round-trips of a Python loop made each
+    eval steal seconds of device time from the training stream. After
+    ``done`` the carry is frozen and the remaining steps are no-ops;
+    the host slices the trajectory to the episode length.
     """
     env = env or ppo.env
 
     if idx_init is None or not hasattr(env, "mocap_data_len"):
-        reset = jax.jit(env.reset)
+        reset = env.reset
     else:
-        reset = jax.jit(lambda k: env.reset(k, idx_init=idx_init))
-    step = jax.jit(env.step)
+        reset = lambda k: env.reset(k, idx_init=idx_init)  # noqa: E731
 
-    def policy(obs):
-        mean, _, value = ppo.net.apply(params, obs)
-        return mean, value
+    @jax.jit
+    def episode(key):
+        state0, obs0 = reset(key)
 
-    policy = jax.jit(policy)
-    state, obs = reset(jax.random.PRNGKey(seed))
-    traj = {k: [] for k in ["obs", "action", "reward", "value", "qpos",
-                            "done_reason"]}
-    ep_rew = 0.0
-    for t in range(max_steps):
-        action, value = policy(obs)
-        state, out = step(state, action)
-        ep_rew += float(out.reward)
-        traj["obs"].append(np.asarray(obs))
-        traj["action"].append(np.asarray(action))
-        traj["reward"].append(float(out.reward))
-        traj["value"].append(float(value))
-        traj["qpos"].append(np.asarray(state.qpos))
-        traj["done_reason"].append(int(out.done_reason))
-        obs = out.obs
-        if bool(out.done):
-            break
-    out = {k: np.asarray(v) for k, v in traj.items()}
-    out["ep_rew"] = ep_rew
-    out["ep_len"] = len(traj["reward"])
+        def scan_step(carry, _):
+            state, obs, alive = carry
+            mean, _, value = ppo.net.apply(params, obs)
+            nstate, out = env.step(state, mean)
+            alive_f = alive.astype(out.reward.dtype)
+            rec = dict(obs=obs, action=mean, reward=out.reward * alive_f,
+                       value=value, qpos=nstate.qpos,
+                       done_reason=out.done_reason, alive=alive)
+            next_alive = alive & ~out.done
+            # freeze the carry once the episode has ended
+            state = jax.tree.map(
+                lambda a, b: jnp.where(alive, a, b), nstate, state)
+            obs = jnp.where(alive, out.obs, obs)
+            return (state, obs, next_alive), rec
+
+        _, traj = jax.lax.scan(
+            scan_step, (state0, obs0, jnp.ones((), bool)), None,
+            length=max_steps)
+        return traj
+
+    traj = jax.tree.map(np.asarray, episode(jax.random.PRNGKey(seed)))
+    ep_len = int(traj.pop("alive").sum())
+    out = {k: v[:ep_len] for k, v in traj.items()}
+    out["ep_rew"] = float(traj["reward"].sum())
+    out["ep_len"] = ep_len
     return out
 
 

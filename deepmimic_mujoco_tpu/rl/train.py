@@ -38,6 +38,9 @@ def parse_reason(argv=None, required=True):
                    help="warm-start policy/value params from a "
                         "params-only checkpoint (e.g. an eval 'best' "
                         "dir) — curriculum fine-tuning")
+    p.add_argument("--reset-log-std", type=float, default=None,
+                   help="with --init-params: overwrite the checkpoint's "
+                        "log-std (re-open exploration for the new task)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--total", type=int, default=500 * M)
     p.add_argument("--eval-every", type=int, default=500_000)
@@ -86,6 +89,13 @@ def main(argv=None):
         init_params = checkpoint.restore_params(
             os.path.expanduser(args.init_params))
         print("Warm-starting params from", args.init_params)
+        if args.reset_log_std is not None:
+            import numpy as np
+
+            init_params["params"]["log_std"] = np.full_like(
+                np.asarray(init_params["params"]["log_std"]),
+                args.reset_log_std)
+            print("Reset log_std to", args.reset_log_std)
 
     run_name = "test" + time.strftime("%Y%m%d-%H%M_%S")
     config = {
