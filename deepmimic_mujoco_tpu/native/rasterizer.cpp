@@ -7,7 +7,7 @@
 // cylinder(5, drawn as capsule), box(6). Mesh geoms(7) should be
 // passed as their proxy capsules by the caller.
 //
-// Build: g++ -O2 -shared -fPIC rasterizer.cpp -o librasterizer.so
+// Build: g++ -O2 -fopenmp -shared -fPIC rasterizer.cpp -o librasterizer.so
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -132,18 +132,99 @@ bool hit_box(Vec3 o, Vec3 d, Vec3 c, const float* R, Vec3 half,
     return true;
 }
 
+// ray-triangle (Moller-Trumbore), one-sided culling off
+bool hit_tri(Vec3 o, Vec3 d, const float* v0f, const float* v1f,
+             const float* v2f, float* t, Vec3* n) {
+    Vec3 v0 = v3(v0f[0], v0f[1], v0f[2]);
+    Vec3 e1 = v3(v1f[0], v1f[1], v1f[2]) - v0;
+    Vec3 e2 = v3(v2f[0], v2f[1], v2f[2]) - v0;
+    Vec3 p = cross(d, e2);
+    float det = dot(e1, p);
+    if (std::fabs(det) < 1e-12f) return false;
+    float inv = 1.0f / det;
+    Vec3 s = o - v0;
+    float u = dot(s, p) * inv;
+    if (u < 0.0f || u > 1.0f) return false;
+    Vec3 q = cross(s, e1);
+    float v = dot(d, q) * inv;
+    if (v < 0.0f || u + v > 1.0f) return false;
+    float tt = dot(e2, q) * inv;
+    if (tt < 1e-4f) return false;
+    *t = tt;
+    Vec3 nn = normalize(cross(e1, e2));
+    if (dot(nn, d) > 0) nn = nn * -1.0f;  // face the camera
+    *n = nn;
+    return true;
+}
+
+// slab test against an axis-aligned box (in local frame) centered at 0
+bool hit_aabb(Vec3 lo_, Vec3 ld, Vec3 half) {
+    float tmin = -1e30f, tmax = 1e30f;
+    const float lov[3] = {lo_.x, lo_.y, lo_.z};
+    const float ldv[3] = {ld.x, ld.y, ld.z};
+    const float hv[3] = {half.x, half.y, half.z};
+    for (int i = 0; i < 3; i++) {
+        if (std::fabs(ldv[i]) < 1e-9f) {
+            if (std::fabs(lov[i]) > hv[i]) return false;
+            continue;
+        }
+        float inv = 1.0f / ldv[i];
+        float t0 = (-hv[i] - lov[i]) * inv;
+        float t1 = (hv[i] - lov[i]) * inv;
+        if (t0 > t1) std::swap(t0, t1);
+        tmin = std::max(tmin, t0);
+        tmax = std::min(tmax, t1);
+        if (tmin > tmax) return false;
+    }
+    return tmax > 1e-4f;
+}
+
+// convex-hull mesh in the geom frame: AABB cull then brute-force tris
+bool hit_mesh(Vec3 o, Vec3 d, Vec3 c, const float* R, const float* tris,
+              int ntri, Vec3 aabb_half, float* t, Vec3* n) {
+    Vec3 rel = o - c;
+    Vec3 lo = {dot(rel, v3(R[0], R[3], R[6])), dot(rel, v3(R[1], R[4], R[7])),
+               dot(rel, v3(R[2], R[5], R[8]))};
+    Vec3 ld = {dot(d, v3(R[0], R[3], R[6])), dot(d, v3(R[1], R[4], R[7])),
+               dot(d, v3(R[2], R[5], R[8]))};
+    if (!hit_aabb(lo, ld, aabb_half)) return false;
+    float best = 1e30f;
+    Vec3 bn = v3(0, 0, 1);
+    for (int i = 0; i < ntri; i++) {
+        float tt;
+        Vec3 nn;
+        if (hit_tri(lo, ld, tris + 9 * i, tris + 9 * i + 3,
+                    tris + 9 * i + 6, &tt, &nn) && tt < best) {
+            best = tt;
+            bn = nn;
+        }
+    }
+    if (best >= 1e30f) return false;
+    *t = best;
+    // world normal = R * local normal
+    *n = v3(R[0] * bn.x + R[1] * bn.y + R[2] * bn.z,
+            R[3] * bn.x + R[4] * bn.y + R[5] * bn.z,
+            R[6] * bn.x + R[7] * bn.y + R[8] * bn.z);
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 // geom_type: MuJoCo enum (0 plane, 2 sphere, 3 capsule, 5 cylinder,
-// 6 box); anything else is skipped.
-void render_scene(const float* geom_xpos, const float* geom_xmat,
-                  const int32_t* geom_type, const float* geom_size,
-                  const float* geom_rgba, int ngeom,
-                  const float* cam_pos_in, const float* cam_target_in,
-                  float fov_deg, int width, int height,
-                  uint8_t* out_rgb) {
+// 6 box, 7 mesh); anything else is skipped. Mesh geoms read their
+// triangle soup (geom-frame coords) from tri_verts[9*tri_off[g] ..]
+// with tri_cnt[g] triangles and an AABB half-extent in mesh_aabb[3g..]
+// for early-out culling; pass tri_cnt=NULL to skip mesh support.
+void render_scene_mesh(const float* geom_xpos, const float* geom_xmat,
+                       const int32_t* geom_type, const float* geom_size,
+                       const float* geom_rgba, int ngeom,
+                       const float* tri_verts, const int32_t* tri_off,
+                       const int32_t* tri_cnt, const float* mesh_aabb,
+                       const float* cam_pos_in, const float* cam_target_in,
+                       float fov_deg, int width, int height,
+                       uint8_t* out_rgb) {
     Vec3 cam = v3(cam_pos_in[0], cam_pos_in[1], cam_pos_in[2]);
     Vec3 tgt = v3(cam_target_in[0], cam_target_in[1], cam_target_in[2]);
     Vec3 fwd = normalize(tgt - cam);
@@ -154,6 +235,9 @@ void render_scene(const float* geom_xpos, const float* geom_xmat,
     float tanf2 = std::tan(fov_deg * 3.14159265f / 360.0f);
     Vec3 light = normalize(v3(-0.4f, 0.3f, 0.85f));
 
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
     for (int py = 0; py < height; py++) {
         for (int px = 0; px < width; px++) {
             float u = (2.0f * (px + 0.5f) / width - 1.0f) * tanf2 * aspect;
@@ -196,6 +280,16 @@ void render_scene(const float* geom_xpos, const float* geom_xmat,
                         hit = hit_box(cam, d, c, R, v3(S[0], S[1], S[2]),
                                       &t, &n);
                         break;
+                    case 7:
+                        if (tri_cnt && tri_cnt[g] > 0) {
+                            hit = hit_mesh(
+                                cam, d, c, R, tri_verts + 9 * tri_off[g],
+                                tri_cnt[g],
+                                v3(mesh_aabb[3 * g], mesh_aabb[3 * g + 1],
+                                   mesh_aabb[3 * g + 2]),
+                                &t, &n);
+                        }
+                        break;
                     default:
                         break;
                 }
@@ -235,6 +329,20 @@ void render_scene(const float* geom_xpos, const float* geom_xmat,
             px_out[2] = (uint8_t)std::min(255.0f, bcol * 255.0f);
         }
     }
+}
+
+// primitive-only entry point (meshes must be pre-substituted by proxy
+// capsules by the caller)
+void render_scene(const float* geom_xpos, const float* geom_xmat,
+                  const int32_t* geom_type, const float* geom_size,
+                  const float* geom_rgba, int ngeom,
+                  const float* cam_pos_in, const float* cam_target_in,
+                  float fov_deg, int width, int height,
+                  uint8_t* out_rgb) {
+    render_scene_mesh(geom_xpos, geom_xmat, geom_type, geom_size,
+                      geom_rgba, ngeom, nullptr, nullptr, nullptr, nullptr,
+                      cam_pos_in, cam_target_in, fov_deg, width, height,
+                      out_rgb);
 }
 
 }  // extern "C"

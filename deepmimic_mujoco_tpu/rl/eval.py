@@ -98,8 +98,10 @@ def eval_dashboard_rollout(ppo, params, n: int, run_name: str,
         rng = range(0, T, max(1, T // 240))  # bound video length
         cum = np.cumsum(tr["reward"])
         for i in rng:
+            # 320x240 keeps the single-core ray tracer at ~0.3 s/frame
+            # (the dashboard subplot shows it small anyway)
             frame = render_state(ppo.env.model, tr["qpos"][i],
-                                 mode="rgb_array",
+                                 mode="rgb_array", width=320, height=240,
                                  overlay=f"{i:>5} {cum[i]:>8.2f}")
             fig, ax = plt.subplots(2, 2, num="eval", figsize=(8, 6))
             ax[0, 0].axhline(0, color="black", lw=1)
@@ -173,21 +175,25 @@ class ThreadedEvaluator:
 
     def _loop(self):
         while True:
-            params, n = self._q.get()
+            params, n, render = self._q.get()
             self._busy.set()
             try:
                 eval_dashboard_rollout(self.ppo, params, n, self.run_name,
                                        out_dir=self.out_dir,
-                                       render=self.render,
+                                       render=render,
                                        metrics_cb=self.metrics_cb)
             except Exception as e:  # eval must never kill training
                 print("Eval worker error:", e)
             finally:
                 self._busy.clear()
 
-    def queue_eval(self, params, n: int, wait: bool = True):
+    def queue_eval(self, params, n: int, wait: bool = True,
+                   render: Optional[bool] = None):
+        """``render=None`` -> the evaluator's default. Dashboard-video
+        drawing is host-side but GIL-heavy (matplotlib); callers on a
+        tight training loop should render only a subset of evals."""
         if wait:
             while self._busy.is_set():
                 time.sleep(0.2)
         frozen = jax.tree.map(lambda x: np.asarray(x), params)
-        self._q.put((frozen, n))
+        self._q.put((frozen, n, self.render if render is None else render))

@@ -153,7 +153,11 @@ def main(argv=None):
             "v_loss_max": float(stats.v_loss_max),
         })
         if it % eval_every_iters == 0:
-            evaluator.queue_eval(ts.params, gstep)
+            # dashboard videos only every 5th eval: matplotlib holds
+            # the GIL long enough to halve training throughput
+            render = (not args.no_render) and \
+                (it // eval_every_iters) % 5 == 0
+            evaluator.queue_eval(ts.params, gstep, render=render)
 
     print("Begin Learn")
     print("-----------")

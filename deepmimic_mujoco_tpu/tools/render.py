@@ -4,8 +4,11 @@ Replaces the reference's native OpenGL viewer (reference:
 src/deepmimic_env.py:527-538) with this framework's own native C++
 ray-traced renderer (deepmimic_mujoco_tpu/native/rasterizer.cpp, built
 on demand, loaded via ctypes) — no GL context required, suitable for
-headless eval videos. Mesh geoms are drawn as their collision proxy
-capsules. Falls back to a matplotlib sketch if no C++ toolchain exists.
+headless eval videos. Mesh geoms are ray-traced as their decimated
+convex hulls (~60 triangles each, AABB-culled), so G1 eval videos show
+real link geometry; if scipy's hull is unavailable they degrade to the
+PCA proxy capsules. Falls back to a matplotlib sketch without a C++
+toolchain.
 ``mode="rgb_array"`` returns an HxWx3 uint8 frame with the reference's
 episode-length/reward overlay (cv2.putText, like src/deepmimic_env.py:536).
 """
@@ -23,8 +26,21 @@ from deepmimic_mujoco_tpu.models.physics_model import (
 _SCENE_CACHE = {}
 
 
+def _mesh_hull_tris(mesh):
+    """(nt, 3, 3) triangle soup of the mesh's decimated hull vertex set
+    (already in the geom frame). None if scipy is unavailable."""
+    try:
+        from scipy.spatial import ConvexHull
+
+        hull = ConvexHull(np.asarray(mesh.verts, np.float64))
+        return np.asarray(mesh.verts, np.float32)[hull.simplices]
+    except Exception:
+        return None
+
+
 def _scene_tables(model):
-    """Static per-geom (type, size, rgba, mesh proxy transform)."""
+    """Static per-geom (type, size, rgba, proxy transforms, hull-
+    triangle tables for mesh geoms)."""
     key = id(model)
     if key in _SCENE_CACHE:
         return _SCENE_CACHE[key]
@@ -34,25 +50,50 @@ def _scene_tables(model):
     rgba = np.zeros((ngeom, 4), np.float32)
     proxy_pos = np.zeros((ngeom, 3), np.float32)
     proxy_quat = np.tile(np.array([1, 0, 0, 0], np.float32), (ngeom, 1))
+    tri_off = np.zeros(ngeom, np.int32)
+    tri_cnt = np.zeros(ngeom, np.int32)
+    mesh_aabb = np.zeros((ngeom, 3), np.float32)
+    tri_chunks = []
+    ntri_total = 0
     palette = np.array([
         [0.76, 0.60, 0.42, 1.0],  # body tan
         [0.55, 0.55, 0.62, 1.0],  # metal
     ], np.float32)
+    hull_cache = {}
     for g in range(ngeom):
         t = int(model.geom_type[g])
         if t == MESH:
-            mesh = model.meshes[int(model.geom_meshid[g])]
-            gtype[g] = CAPSULE
-            size[g, 0] = mesh.capsule_size[0]
-            size[g, 1] = mesh.capsule_size[1]
-            proxy_pos[g] = mesh.capsule_pos
-            proxy_quat[g] = mesh.capsule_quat
+            mid = int(model.geom_meshid[g])
+            mesh = model.meshes[mid]
+            if mid not in hull_cache:
+                hull_cache[mid] = _mesh_hull_tris(mesh)
+            tris = hull_cache[mid]
+            if tris is not None:
+                # true hull rendering (geom-frame tris; geom frame ==
+                # mesh principal frame after MJCF compilation)
+                gtype[g] = MESH
+                tri_off[g] = ntri_total
+                tri_cnt[g] = len(tris)
+                mesh_aabb[g] = np.abs(
+                    np.asarray(mesh.verts)).max(0) * 1.02 + 1e-3
+                tri_chunks.append(tris.reshape(-1, 9))
+                ntri_total += len(tris)
+            else:  # scipy-less fallback: PCA proxy capsule
+                gtype[g] = CAPSULE
+                size[g, 0] = mesh.capsule_size[0]
+                size[g, 1] = mesh.capsule_size[1]
+                proxy_pos[g] = mesh.capsule_pos
+                proxy_quat[g] = mesh.capsule_quat
             rgba[g] = palette[1]
         else:
             gtype[g] = t
             rgba[g] = palette[0] if t != PLANE else np.array(
                 [0.45, 0.62, 0.45, 1.0], np.float32)
-    tables = (gtype, size, rgba, proxy_pos, proxy_quat)
+    tri_verts = (np.concatenate(tri_chunks, axis=0) if tri_chunks
+                 else np.zeros((1, 9), np.float32))
+    tables = (gtype, size, rgba, proxy_pos, proxy_quat,
+              np.ascontiguousarray(tri_verts, np.float32), tri_off,
+              tri_cnt, mesh_aabb)
     _SCENE_CACHE[key] = tables
     return tables
 
@@ -73,8 +114,10 @@ def render_state(model, qpos, mode: Optional[str] = None,
     gx = np.asarray(kin.geom_xpos, np.float32)
     gm = np.asarray(kin.geom_xmat, np.float32)
 
-    gtype, size, rgba, proxy_pos, proxy_quat = _scene_tables(model)
-    # fold mesh proxy transforms into world frames
+    (gtype, size, rgba, proxy_pos, proxy_quat, tri_verts, tri_off,
+     tri_cnt, mesh_aabb) = _scene_tables(model)
+    # fold mesh proxy transforms into world frames (identity for
+    # hull-rendered mesh geoms and primitives)
     pos = gx + np.einsum("nij,nj->ni", gm, proxy_pos)
     mats = gm @ hq.to_mat(proxy_quat.astype(np.float64)).astype(np.float32)
 
@@ -91,10 +134,12 @@ def render_state(model, qpos, mode: Optional[str] = None,
         out = np.zeros((height, width, 3), np.uint8)
         fp = lambda a: np.ascontiguousarray(a, np.float32).ctypes.data_as(
             ctypes.POINTER(ctypes.c_float))
-        lib.render_scene(
-            fp(pos), fp(mats), np.ascontiguousarray(gtype).ctypes.data_as(
-                ctypes.POINTER(ctypes.c_int32)),
+        ip = lambda a: np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+        lib.render_scene_mesh(
+            fp(pos), fp(mats), ip(gtype),
             fp(size), fp(rgba), ctypes.c_int(model.ngeom),
+            fp(tri_verts), ip(tri_off), ip(tri_cnt), fp(mesh_aabb),
             fp(cam), fp(tgt), ctypes.c_float(55.0),
             ctypes.c_int(width), ctypes.c_int(height),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))

@@ -45,6 +45,26 @@ def test_native_renderer(humanoid_env):
     assert frame.std() > 20
 
 
+def test_native_renderer_g1_meshes():
+    """G1 mesh geoms render as real hull triangles, not proxy capsules
+    (round-1 gap: eval videos showed capsule proxies only)."""
+    from deepmimic_mujoco_tpu.models import assets, load_model
+    from deepmimic_mujoco_tpu.models.physics_model import MESH
+    from deepmimic_mujoco_tpu.tools.render import _scene_tables, render_state
+
+    m = load_model(assets.xml_path("unitree_g1"))
+    tables = _scene_tables(m)
+    gtype, tri_cnt = tables[0], tables[7]
+    n_mesh_geoms = int((np.asarray(m.geom_type) == MESH).sum())
+    assert n_mesh_geoms > 20
+    # every mesh geom got a triangle table (scipy hull available here)
+    assert int((gtype == MESH).sum()) == n_mesh_geoms
+    assert (tri_cnt[gtype == MESH] > 3).all()
+    frame = render_state(m, np.asarray(m.key_qpos[0]), mode="rgb_array",
+                         width=128, height=96)
+    assert frame.shape == (96, 128, 3) and frame.std() > 20
+
+
 def test_gym_wrapper_roundtrip():
     from deepmimic_mujoco_tpu.envs import GymDPEnv
 
