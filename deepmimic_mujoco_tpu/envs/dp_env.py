@@ -82,7 +82,8 @@ class DPEnv:
                  cfg: Optional[DPEnvConfig] = None,
                  max_contacts: Optional[int] = None,
                  iterations: Optional[int] = None,
-                 integrator: Optional[int] = None):
+                 integrator: Optional[int] = None,
+                 speed: float = 1.0):
         # Training default: semi-implicit Euler with implicit joint
         # damping (1 forward/step). The reference's MJCF requests RK4
         # (4 forwards); pass integrator=RK4 for strict parity runs.
@@ -101,6 +102,11 @@ class DPEnv:
         self.reward_tables = reward_lib.make_reward_tables(self.model, self.spec)
 
         clip = load_clip(self.motion_config.mocap_path, self.model)
+        if speed != 1.0:
+            from deepmimic_mujoco_tpu.mocap.loader import resample_clip_speed
+
+            clip = resample_clip_speed(clip, speed)
+        self.speed = speed
         self.clip = clip
         self.mocap_qpos = jnp.asarray(clip.qpos, jnp.float32)
         self.mocap_qvel = jnp.asarray(clip.qvel, jnp.float32)

@@ -24,6 +24,9 @@ def parse_reason(argv=None, required=True):
                    choices=["deep_mimic_mujoco", "dp_combined_env"])
     p.add_argument("--motion", default="walk")
     p.add_argument("--robot", default="unitree_g1")
+    p.add_argument("--speed", type=float, default=1.0,
+                   help="mocap time-stretch for curriculum training "
+                        "(0.5 = half-speed clip)")
     p.add_argument("--n-envs", type=int, default=2048)
     p.add_argument("--horizon", type=int, default=64)
     p.add_argument("--minibatch", type=int, default=4096)
@@ -67,7 +70,8 @@ def main(argv=None):
     from deepmimic_mujoco_tpu.rl.eval import ThreadedEvaluator
 
     if args.env == "deep_mimic_mujoco":
-        env = DPEnv(motion=args.motion, robot=args.robot)
+        env = DPEnv(motion=args.motion, robot=args.robot,
+                    speed=args.speed)
     else:
         env = DPCombinedEnv()
 
@@ -102,7 +106,7 @@ def main(argv=None):
         "run_reason": args.reason, "policy_type": "ActorCritic",
         "total_timesteps": args.total, "env_name": args.env,
         "version": env.version, "env_cfg": vars(env.ENV_CFG),
-        "motion": args.motion, "robot": args.robot,
+        "motion": args.motion, "robot": args.robot, "speed": args.speed,
         "arch": list(cfg.net_arch), "n_envs": cfg.n_envs,
         "horizon": cfg.horizon, "minibatch_size": cfg.minibatch_size,
         "learning_rate": cfg.lr, "epochs": cfg.epochs,
