@@ -119,12 +119,13 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
     imp = jnp.tile(imp_c, 3)
     active = jnp.tile(active_c, 3)
 
-    # ---- joint-limit rows ----------------------------------------------
+    # ---- joint-limit rows (J_l = +-e_dof: never materialized) ----------
     ld, lq, llo, lhi = limit_table
     L = len(ld)
+    ld_idx = np.asarray(ld)
     if L:
         qj = qpos[np.asarray(lq)]
-        vj = qvel[np.asarray(ld)]
+        vj = qvel[ld_idx]
         dist_lo = qj - jnp.asarray(llo, dtype)   # >=0 ok
         dist_hi = jnp.asarray(lhi, dtype) - qj
         # one row per joint: the nearer limit (both can't bind at once)
@@ -138,21 +139,32 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
         k_l, b_l = _kb(solref_l, solimp_l, dt)
         vel_l = sign * vj
         aref_l = -b_l * vel_l - k_l * imp_l * pos_l
-        Jl = jnp.zeros((L, nv), dtype).at[
-            jnp.arange(L), jnp.asarray(np.asarray(ld))].set(sign)
-        J = jnp.concatenate([J, Jl], axis=0)
         aref = jnp.concatenate([aref, aref_l])
         imp = jnp.concatenate([imp, imp_l])
         active = jnp.concatenate([active, active_l])
 
-    # ---- A = J M^-1 J^T + R --------------------------------------------
-    MinvJT = Minv @ J.T                                      # (nv, n)
-    A = J @ MinvJT
-    diagA = jnp.clip(jnp.diag(A), 1e-8, None)
+    # ---- A = J M^-1 J^T + R, built in blocks ---------------------------
+    # The limit rows are +-unit vectors, so their blocks are gathers of
+    # Minv rather than matmuls; only the 3K contact rows go through the
+    # MXU. vs. one dense (3K+L, nv) J this is ~2-4x fewer MACs (the
+    # round-1 profile's top hotspot at large env batches).
+    MinvJcT = Minv @ J.T                                     # (nv, 3K)
+    Acc = J @ MinvJcT                                        # (3K, 3K)
+    bc = J @ qacc_smooth - aref[:3 * K]
+    if L:
+        Alc = MinvJcT[ld_idx] * sign[:, None]                # (L, 3K)
+        All = (Minv[ld_idx][:, ld_idx]
+               * sign[:, None] * sign[None, :])              # (L, L)
+        A = jnp.block([[Acc, Alc.T], [Alc, All]])
+        bl = sign * qacc_smooth[ld_idx] - aref[3 * K:]
+        b_vec = jnp.concatenate([bc, bl])
+    else:
+        A = Acc
+        b_vec = bc
+    diagA = jnp.clip(jnp.diagonal(A), 1e-8, None)
     R = (1.0 - imp) / imp * diagA
-    b_vec = J @ qacc_smooth - aref
     Ahat = A + jnp.diag(R)
-    inv_diag = 1.0 / jnp.clip(jnp.diag(Ahat), 1e-8, None)
+    inv_diag = 1.0 / jnp.clip(diagA + R, 1e-8, None)
     activef = active.astype(dtype)
     mu = contacts.friction[:, 0]
 
@@ -160,7 +172,10 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
                        K=K, L=L, iterations=iterations,
                        relaxation=relaxation)
 
-    qfrc = J.T @ lam
+    # qfrc = J^T lam (contact rows dense, limit rows scattered)
+    qfrc = J.T @ lam[:3 * K]
+    if L:
+        qfrc = qfrc.at[ld_idx].add(sign * lam[3 * K:])
     qacc = qacc_smooth + Minv @ qfrc
     return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
