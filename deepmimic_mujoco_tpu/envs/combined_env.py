@@ -60,6 +60,7 @@ class CombinedEnvState(NamedTuple):
     episode_length: jnp.ndarray
     episode_reward: jnp.ndarray
     key: jnp.ndarray
+    lam: jnp.ndarray             # warm-start constraint forces
 
 
 class CombinedStepOut(NamedTuple):
@@ -78,7 +79,7 @@ class DPCombinedEnv:
 
     def __init__(self, cfg: Optional[DPCombinedEnvConfig] = None,
                  getup_timeout_to_walk: bool = False,
-                 max_contacts: int = 32,
+                 max_contacts: int = 24,
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None):
         # Training default: Euler (see DPEnv); RK4 available for parity.
@@ -139,7 +140,9 @@ class DPCombinedEnv:
         cvel, _ = com_vel(self.model, com, qvel)
         z = jnp.zeros(self.model.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
-                          qacc=z, qfrc_smooth=z, qfrc_constraint=z)
+                          qacc=z, qfrc_smooth=z, qfrc_constraint=z,
+                          lam=jnp.zeros(self.engine.n_constraint_rows,
+                                        qpos.dtype))
 
     def _mocap_at(self, motion_id, idx):
         return (self.mocap_qpos[motion_id, idx],
@@ -190,7 +193,8 @@ class DPCombinedEnv:
             qpos=qpos, qvel=qvel, motion_id=motion_id, n_steps=n_steps,
             player_action=jnp.asarray(PA_WALK, jnp.int32),
             episode_length=jnp.zeros((), jnp.int32),
-            episode_reward=jnp.zeros((), jnp.float32), key=key)
+            episode_reward=jnp.zeros((), jnp.float32), key=key,
+            lam=jnp.zeros(self.engine.n_constraint_rows, jnp.float32))
 
     def reset(self, key) -> Tuple[CombinedEnvState, jnp.ndarray]:
         state = self._reset_state(key)
@@ -209,7 +213,8 @@ class DPCombinedEnv:
         else:
             # stale-field semantics: see dp_env.step
             ctrl = self._mujoco_action(action)
-            qpos, qvel, data = self.engine.step(state.qpos, state.qvel, ctrl)
+            qpos, qvel, data = self.engine.step(state.qpos, state.qvel, ctrl,
+                                               lam0=state.lam)
 
         motion_id = state.motion_id
         n_steps = state.n_steps
@@ -300,7 +305,7 @@ class DPCombinedEnv:
             player_action=state.player_action,
             episode_length=state.episode_length + 1,
             episode_reward=state.episode_reward + reward,
-            key=state.key)
+            key=state.key, lam=data.lam)
         out = CombinedStepOut(
             obs=obs, reward=reward, done=done, done_reason=reason,
             imitation_reward=imitation, task_reward=task,

@@ -64,6 +64,7 @@ class DPEnvState(NamedTuple):
     episode_length: jnp.ndarray  # i32
     episode_reward: jnp.ndarray  # f32
     key: jnp.ndarray             # PRNG for RSI auto-reset
+    lam: jnp.ndarray             # warm-start constraint forces
 
 
 class StepOut(NamedTuple):
@@ -95,7 +96,10 @@ class DPEnv:
         self.robot_config = RobotConfig(robot=robot)
         self.model = load_model(self.robot_config.xml_path)
         if max_contacts is None:
-            max_contacts = 24 if robot == "humanoid3d" else 32
+            # sized to measured worst-case active contacts (+margin):
+            # humanoid3d peaks at ~11 (falls), G1 at ~23 (prone getup);
+            # solver cost scales with (3*max_contacts + nlimit)^2
+            max_contacts = 16 if robot == "humanoid3d" else 24
         self.engine = Engine(self.model, max_contacts=max_contacts,
                              iterations=iterations, integrator=integrator)
         self.spec = RobotSpec.build(self.model, self.robot_config)
@@ -133,7 +137,9 @@ class DPEnv:
         cvel, _ = com_vel(self.model, com, qvel)
         z = jnp.zeros(self.model.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
-                          qacc=z, qfrc_smooth=z, qfrc_constraint=z)
+                          qacc=z, qfrc_smooth=z, qfrc_constraint=z,
+                          lam=jnp.zeros(self.engine.n_constraint_rows,
+                                        qpos.dtype))
 
     def _obs(self, data, qpos, qvel, idx_curr):
         return obs_lib.get_obs(self.model, self.spec, self.ENV_CFG, data,
@@ -162,7 +168,8 @@ class DPEnv:
             qpos=qpos, qvel=qvel, idx_curr=idx.astype(jnp.int32),
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32),
-            key=key)
+            key=key,
+            lam=jnp.zeros(self.engine.n_constraint_rows, jnp.float32))
         data = self._kinematic_data(qpos, qvel)
         return state, self._obs(data, qpos, qvel, state.idx_curr)
 
@@ -180,7 +187,8 @@ class DPEnv:
             # exactly the reference's post-``mj_step`` staleness
             # semantics, and it saves a second FK+collision per step
             ctrl = self._mujoco_action(action)
-            qpos, qvel, data = self.engine.step(state.qpos, state.qvel, ctrl)
+            qpos, qvel, data = self.engine.step(state.qpos, state.qvel, ctrl,
+                                               lam0=state.lam)
 
         obs = self._obs(data, qpos, qvel, state.idx_curr)
 
@@ -234,7 +242,7 @@ class DPEnv:
             idx_curr=(idx + 1) % self.mocap_data_len,
             episode_length=state.episode_length + 1,
             episode_reward=state.episode_reward + reward,
-            key=state.key)
+            key=state.key, lam=data.lam)
         out = StepOut(obs=obs, reward=reward, done=done,
                       done_reason=reason, reward_info=rew)
         return new_state, out
@@ -252,7 +260,8 @@ class DPEnv:
             idx_curr=idx.astype(jnp.int32),
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32),
-            key=key)
+            key=key,
+            lam=jnp.zeros(self.engine.n_constraint_rows, jnp.float32))
         picked = jax.tree.map(
             lambda a, b: jnp.where(out.done, a, b), reset_state,
             new_state._replace(key=key))

@@ -95,7 +95,8 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
                       qvel: jnp.ndarray, contacts: Contacts,
                       body_dof: np.ndarray, limit_table,
                       iterations: int = 50,
-                      relaxation: float = 0.15) -> SolveResult:
+                      relaxation: float = 0.15,
+                      lam0=None) -> SolveResult:
     """``Minv`` is the (explicit) inverse mass matrix — see
     physics/linalg.py for why an explicit inverse beats triangular
     solves for batched tiny systems on TPU."""
@@ -170,7 +171,7 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
 
     lam = _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef,
                        K=K, L=L, iterations=iterations,
-                       relaxation=relaxation)
+                       relaxation=relaxation, lam0=lam0)
 
     # qfrc = J^T lam (contact rows dense, limit rows scattered)
     qfrc = J.T @ lam[:3 * K]
@@ -193,7 +194,7 @@ def _use_pallas() -> bool:
 
 
 def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
-                 iterations, relaxation):
+                 iterations, relaxation, lam0=None):
     """Dispatch the iteration to the Pallas TPU kernel (A resident in
     VMEM across sweeps) or a pure-XLA fallback loop elsewhere."""
     dtype = Ahat.dtype
@@ -243,5 +244,6 @@ def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
         grad = Ahat @ lam + b_vec
         return project(lam - step * inv_diag * grad)
 
-    return jax.lax.fori_loop(0, iterations, sweep,
-                             jnp.zeros(Ahat.shape[0], dtype))
+    init = (project(lam0.astype(dtype)) if lam0 is not None
+            else jnp.zeros(Ahat.shape[0], dtype))
+    return jax.lax.fori_loop(0, iterations, sweep, init)

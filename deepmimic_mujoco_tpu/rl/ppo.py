@@ -59,6 +59,16 @@ class PPOConfig:
     log_std_min: float = -4.0
     log_std_max: float = 1.0
     adam_eps: float = 1e-5  # torch.optim.Adam default used by SB3
+    # Training-only survival shaping for hard-exploration clips (G1
+    # run): each non-terminal transition's reward is boosted by
+    # ``alive_bonus`` inside GAE, linearly annealed to zero over
+    # ``alive_bonus_decay_steps`` global env steps. The env reward,
+    # episode returns, and every logged metric stay reference-exact
+    # (reference reward: src/deepmimic_env.py:193-256) — only the
+    # advantage estimate sees the bonus, so the final policy is still
+    # selected/evaluated on the true imitation reward.
+    alive_bonus: float = 0.0
+    alive_bonus_decay_steps: int = 0
     init_log_std: float = 0.0
     net_arch: tuple = (256, 128)
     total_timesteps: int = 500_000_000
@@ -176,10 +186,23 @@ class PPO:
         # ---- GAE (reverse scan over the horizon) ----------------------
         _, _, last_value = net.apply(ts.params, last_obs)
 
+        if cfg.alive_bonus:
+            if cfg.alive_bonus_decay_steps:
+                frac = 1.0 - (ts.global_step.astype(jnp.float32)
+                              / float(cfg.alive_bonus_decay_steps))
+                bonus_now = cfg.alive_bonus * jnp.clip(frac, 0.0, 1.0)
+            else:
+                bonus_now = jnp.float32(cfg.alive_bonus)
+        else:
+            bonus_now = None
+
         def gae_step(carry, tr):
             adv_next, value_next = carry
             nonterminal = 1.0 - tr.done.astype(jnp.float32)
-            delta = tr.reward + cfg.gamma * value_next * nonterminal - tr.value
+            r = tr.reward
+            if bonus_now is not None:
+                r = r + bonus_now * nonterminal
+            delta = r + cfg.gamma * value_next * nonterminal - tr.value
             adv = delta + cfg.gamma * cfg.gae_lambda * nonterminal * adv_next
             return (adv, tr.value), adv
 

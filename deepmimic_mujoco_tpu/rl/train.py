@@ -44,6 +44,13 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--reset-log-std", type=float, default=None,
                    help="with --init-params: overwrite the checkpoint's "
                         "log-std (re-open exploration for the new task)")
+    p.add_argument("--alive-bonus", type=float, default=0.0,
+                   help="training-only survival shaping added to "
+                        "non-terminal GAE rewards (hard-exploration "
+                        "clips); logged metrics stay on the true reward")
+    p.add_argument("--alive-bonus-decay", type=int, default=0,
+                   help="global steps over which --alive-bonus anneals "
+                        "linearly to 0 (0 = constant)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--total", type=int, default=500 * M)
     p.add_argument("--eval-every", type=int, default=500_000)
@@ -86,6 +93,8 @@ def main(argv=None):
                         target_kl=args.target_kl,
                         lr_final_frac=args.lr_final_frac,
                         clip_vf=args.clip_vf,
+                        alive_bonus=args.alive_bonus,
+                        alive_bonus_decay_steps=args.alive_bonus_decay,
                         init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
     init_params = None
