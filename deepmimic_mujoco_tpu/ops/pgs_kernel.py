@@ -6,10 +6,17 @@ every sweep (~160 MB/iteration at batch 4096), which dominated the
 whole physics step.
 
 Each grid program solves a BLOCK of envs (one-env programs serialize on
-the TensorCore and are latency-bound; measured 3x slower than the XLA
-loop). The iteration matvec is a sublane reduction
-``grad_i = sum_k A[e,k,i] * lam[e,k]`` (A symmetric, so no transpose),
-all VPU work on VMEM-resident data.
+the TensorCore and are latency-bound). The iteration matvec is a
+sublane reduction ``grad_i = sum_k A[e,k,i] * lam[e,k]`` (A symmetric,
+so no transpose), all VPU work on VMEM-resident data.
+
+Semantics are EXACTLY the XLA fallback in physics/solver.py
+(_pgs_iterate): projected diagonal-scaled gradient with an in-kernel
+power-iteration estimate of lambda_max(D^-1 A) choosing the step size.
+Any divergence between the two paths changes contact dynamics and
+breaks trained policies (observed: walk gate 339 -> 27 from a smaller
+solver perturbation), so parity here is a hard requirement, enforced
+by tests/test_pgs_kernel.py against the fallback.
 
 Exposed as a single-env function with a ``custom_vmap`` rule, so the
 per-env physics code stays vmap-style while batched calls dispatch to
@@ -25,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ENV_BLOCK = 8  # envs per grid program (A block: 8 x 128 x 128 f32 = 512 KB)
+ENV_BLOCK = 16  # envs per grid program (A block: 16 x 128 x 128 f32 = 1 MB)
+POWER_ITERS = 12  # matches physics/solver.py:_pgs_iterate
 
 
 def _round_up(x, m):
@@ -48,25 +56,42 @@ def _project(lam, mu, active, K, L, n_pad):
     return jnp.concatenate(parts, axis=1) * active
 
 
-def _pgs_kernel(A_ref, b_ref, invd_ref, mu_ref, active_ref, lam_ref,
-                *, K, L, n_pad, iterations, relaxation):
+def _pgs_kernel(A_ref, b_ref, invd_ref, mu_ref, active_ref, lam0_ref,
+                lam_ref, *, K, L, n_pad, iterations):
     A = A_ref[...]          # (E, n_pad, n_pad)
     b = b_ref[...]          # (E, n_pad)
     invd = invd_ref[...]
     mu = mu_ref[...]
     active = active_ref[...]
 
+    def matvec(v):          # (E, n_pad) -> (E, n_pad); A symmetric
+        return jnp.sum(A * v[:, :, None], axis=1)
+
+    # ---- power iteration for the largest eigenvalue of D^-1 A on the
+    # active sub-system (mirrors solver.py exactly) -------------------
+    def pw(_, vec):
+        w = invd * matvec(vec * active) * active
+        nrm = jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))
+        return w / jnp.maximum(nrm, 1e-12)
+
+    v0 = active / jnp.maximum(
+        jnp.sqrt(jnp.sum(active * active, axis=1, keepdims=True)), 1e-12)
+    ve = jax.lax.fori_loop(0, POWER_ITERS, pw, v0)
+    w = invd * matvec(ve * active) * active
+    lam_max = jnp.maximum(
+        jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True)), 1.0)
+    step = jnp.minimum(1.5 / lam_max, 1.0)   # (E, 1)
+
     def body(_, lam):
-        grad = jnp.sum(A * lam[:, :, None], axis=1) + b
-        return _project(lam - relaxation * invd * grad, mu, active,
-                        K, L, n_pad)
+        grad = matvec(lam) + b
+        return _project(lam - step * invd * grad, mu, active, K, L, n_pad)
 
-    lam_ref[...] = jax.lax.fori_loop(0, iterations, body,
-                                     jnp.zeros_like(b))
+    init = _project(lam0_ref[...], mu, active, K, L, n_pad)
+    lam_ref[...] = jax.lax.fori_loop(0, iterations, body, init)
 
 
-def _pgs_batched(A, b, inv_diag, mu, active, *, K, L, iterations,
-                 relaxation, interpret=False):
+def _pgs_batched(A, b, inv_diag, mu, active, lam0, *, K, L, iterations,
+                 interpret=False):
     B, n, _ = A.shape
     n_pad = _round_up(n, 128)
     K_pad = _round_up(K, 128)
@@ -80,55 +105,57 @@ def _pgs_batched(A, b, inv_diag, mu, active, *, K, L, iterations,
     invd_p = pad2(inv_diag, n_pad)
     mu_p = pad2(mu, K_pad)
     act_p = pad2(active.astype(dtype), n_pad)
+    lam0_p = pad2(lam0, n_pad)
 
     kernel = functools.partial(_pgs_kernel, K=K, L=L, n_pad=n_pad,
-                               iterations=iterations,
-                               relaxation=relaxation)
+                               iterations=iterations)
+    vec_spec = pl.BlockSpec((E, n_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     lam = pl.pallas_call(
         kernel,
         grid=(B_pad // E,),
         in_specs=[
             pl.BlockSpec((E, n_pad, n_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, n_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, n_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
             pl.BlockSpec((E, K_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, n_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
         ],
-        out_specs=pl.BlockSpec((E, n_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=vec_spec,
         out_shape=jax.ShapeDtypeStruct((B_pad, n_pad), dtype),
         interpret=interpret,
-    )(A_p, b_p, invd_p, mu_p, act_p)
+    )(A_p, b_p, invd_p, mu_p, act_p, lam0_p)
     return lam[:B, :n]
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pgs(K, L, iterations, relaxation):
+def _make_pgs(K, L, iterations, interpret=False):
     @jax.custom_batching.custom_vmap
-    def pgs(A, b, inv_diag, mu, active):
+    def pgs(A, b, inv_diag, mu, active, lam0):
         lam = _pgs_batched(A[None], b[None], inv_diag[None], mu[None],
-                           active[None], K=K, L=L, iterations=iterations,
-                           relaxation=relaxation)
+                           active[None], lam0[None], K=K, L=L,
+                           iterations=iterations, interpret=interpret)
         return lam[0]
 
     @pgs.def_vmap
-    def _pgs_vmap(axis_size, in_batched, A, b, inv_diag, mu, active):
+    def _pgs_vmap(axis_size, in_batched, A, b, inv_diag, mu, active, lam0):
         assert all(in_batched), "pgs expects all operands batched"
-        out = _pgs_batched(A, b, inv_diag, mu, active, K=K, L=L,
-                           iterations=iterations, relaxation=relaxation)
+        out = _pgs_batched(A, b, inv_diag, mu, active, lam0, K=K, L=L,
+                           iterations=iterations, interpret=interpret)
         return out, True
 
     return pgs
 
 
-def pgs_solve_single(A, b, inv_diag, mu, active, *, K: int, L: int,
-                     iterations: int, relaxation: float):
+def pgs_solve_single(A, b, inv_diag, mu, active, lam0=None, *, K: int,
+                     L: int, iterations: int, interpret: bool = False):
     """One env's dual PGS solve; under vmap, dispatches to the blocked
-    batch kernel via a custom batching rule."""
-    fn = _make_pgs(K, L, iterations, float(relaxation))
-    return fn(A, b, inv_diag, mu, active)
+    batch kernel via a custom batching rule. Semantics identical to the
+    XLA fallback in physics/solver.py."""
+    if lam0 is None:
+        lam0 = jnp.zeros_like(b)
+    fn = _make_pgs(K, L, iterations, interpret)
+    return fn(A, b, inv_diag, mu, active, lam0)

@@ -203,9 +203,8 @@ def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
     if _use_pallas():
         from deepmimic_mujoco_tpu.ops.pgs_kernel import pgs_solve_single
 
-        return pgs_solve_single(Ahat, b_vec, inv_diag, mu, activef,
-                                K=K, L=L, iterations=iterations,
-                                relaxation=relaxation)
+        return pgs_solve_single(Ahat, b_vec, inv_diag, mu, activef, lam0,
+                                K=K, L=L, iterations=iterations)
 
     # ---- XLA fallback (CPU tests, interpretability) -------------------
     # barrier: stop XLA from sinking A's definition into the loop and
