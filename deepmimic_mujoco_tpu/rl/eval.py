@@ -175,7 +175,10 @@ class ThreadedEvaluator:
 
     def _loop(self):
         while True:
-            params, n, render = self._q.get()
+            job = self._q.get()
+            if job is None:       # shutdown sentinel (see stop())
+                return
+            params, n, render = job
             self._busy.set()
             try:
                 eval_dashboard_rollout(self.ppo, params, n, self.run_name,
@@ -197,3 +200,13 @@ class ThreadedEvaluator:
                 time.sleep(0.2)
         frozen = jax.tree.map(lambda x: np.asarray(x), params)
         self._q.put((frozen, n, self.render if render is None else render))
+
+    def stop(self, wait: bool = True):
+        """Drain and join the worker: killing the daemon thread at
+        interpreter exit aborts an in-flight eval mid-video (observed
+        as 'FATAL: exception not rethrown' from matplotlib teardown)."""
+        if wait:
+            while self._busy.is_set():
+                time.sleep(0.2)
+        self._q.put(None)
+        self._thread.join(timeout=600)

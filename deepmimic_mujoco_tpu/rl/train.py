@@ -178,6 +178,7 @@ def main(argv=None):
                    seed=args.seed, init_params=init_params)
     path = checkpoint.save(os.path.join(out_dir, run_name), ts)
     print("Saved final checkpoint to", path)
+    evaluator.stop()
     return ts
 
 
