@@ -36,6 +36,11 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--lr-final-frac", type=float, default=1.0,
                    help="linear lr decay to lr*frac over the run")
     p.add_argument("--clip-vf", type=float, default=None)
+    p.add_argument("--adv-std-floor", type=float, default=1e-3,
+                   help="floor on per-minibatch advantage std; raise "
+                        "(~0.1) when shaping makes rewards near-"
+                        "constant, else normalization amplifies noise "
+                        "into huge KL jumps")
     p.add_argument("--init-log-std", type=float, default=0.0)
     p.add_argument("--init-params", default=None,
                    help="warm-start policy/value params from a "
@@ -93,6 +98,7 @@ def main(argv=None):
                         target_kl=args.target_kl,
                         lr_final_frac=args.lr_final_frac,
                         clip_vf=args.clip_vf,
+                        adv_std_floor=args.adv_std_floor,
                         alive_bonus=args.alive_bonus,
                         alive_bonus_decay_steps=args.alive_bonus_decay,
                         init_log_std=args.init_log_std)
