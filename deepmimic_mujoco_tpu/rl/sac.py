@@ -92,6 +92,9 @@ class SACState(NamedTuple):
     buf_full: jnp.ndarray
     key: jnp.ndarray
     global_step: jnp.ndarray
+    # running per-env episode accounting (mirrors PPO's TrainState)
+    ep_return: jnp.ndarray
+    ep_length: jnp.ndarray
 
 
 class SAC:
@@ -134,7 +137,9 @@ class SAC:
             env_states=env_states, last_obs=obs, buffer=buffer,
             buf_pos=jnp.zeros((), jnp.int32),
             buf_full=jnp.zeros((), bool),
-            key=key, global_step=jnp.zeros((), jnp.int32))
+            key=key, global_step=jnp.zeros((), jnp.int32),
+            ep_return=jnp.zeros(cfg.n_envs, jnp.float32),
+            ep_length=jnp.zeros(cfg.n_envs, jnp.int32))
 
     def _train_iter_impl(self, s: SACState):
         cfg = self.cfg
@@ -142,7 +147,7 @@ class SAC:
 
         # ---- collect -----------------------------------------------------
         def collect(carry, _):
-            env_states, obs, buffer, pos, key = carry
+            env_states, obs, buffer, pos, key, ep_ret, ep_len = carry
             key, ak = jax.random.split(key)
             mean, log_std = self.actor.apply(s.actor, obs)
             a, _ = _squash_sample(ak, mean, log_std)
@@ -157,12 +162,21 @@ class SAC:
                 done=buffer["done"].at[idx].set(
                     out.done.astype(jnp.float32)),
             )
+            ep_ret = ep_ret + out.reward
+            ep_len = ep_len + 1
+            done_f = out.done.astype(jnp.float32)
+            stats = (out.reward.mean(), (ep_ret * done_f).sum(),
+                     done_f.sum(), (ep_len * out.done).sum())
+            ep_ret = jnp.where(out.done, 0.0, ep_ret)
+            ep_len = jnp.where(out.done, 0, ep_len)
             return (env_states, out.obs, buffer,
-                    (pos + B) % cfg.buffer_size, key), out.reward.mean()
+                    (pos + B) % cfg.buffer_size, key, ep_ret, ep_len), stats
 
-        (env_states, last_obs, buffer, pos, key), rews = jax.lax.scan(
-            collect, (s.env_states, s.last_obs, s.buffer, s.buf_pos, s.key),
-            None, length=cfg.steps_per_iter)
+        (env_states, last_obs, buffer, pos, key, ep_ret, ep_len), \
+            (rews, ep_ret_sum, ep_cnt, ep_len_sum) = jax.lax.scan(
+                collect, (s.env_states, s.last_obs, s.buffer, s.buf_pos,
+                          s.key, s.ep_return, s.ep_length),
+                None, length=cfg.steps_per_iter)
         full = s.buf_full | (pos < s.buf_pos)
         valid = jnp.where(full, cfg.buffer_size,
                           jnp.maximum(pos, 1))
@@ -228,23 +242,33 @@ class SAC:
             log_alpha=log_alpha, opt_actor=oa, opt_critic=oc, opt_alpha=oal,
             env_states=env_states, last_obs=last_obs, buffer=buffer,
             buf_pos=pos, buf_full=full, key=key,
-            global_step=s.global_step + B * cfg.steps_per_iter)
-        return new, (rews.mean(), losses[0].mean(), losses[1].mean())
+            global_step=s.global_step + B * cfg.steps_per_iter,
+            ep_return=ep_ret, ep_length=ep_len)
+        return new, (rews.mean(), losses[0].mean(), losses[1].mean(),
+                     ep_ret_sum.sum(), ep_cnt.sum(), ep_len_sum.sum(),
+                     jnp.exp(log_alpha))
 
     def train(self, total_timesteps: Optional[int] = None, seed: int = 0,
-              verbose: bool = True):
+              verbose: bool = True, callback=None):
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps
         s = self.init(seed)
         per_iter = cfg.n_envs * cfg.steps_per_iter
         t0 = time.time()
         for it in range(max(total // per_iter, 1)):
-            s, (r, closs, aloss) = self._train_iter(s)
+            s, stats = self._train_iter(s)
+            if callback is not None:
+                callback(it, s, stats)
             if verbose and it % 10 == 0:
+                r, closs, aloss, eps, epc, epl, alpha = stats
                 sps = (it + 1) * per_iter / (time.time() - t0)
+                ep_r = float(eps) / max(float(epc), 1.0)
+                ep_l = float(epl) / max(float(epc), 1.0)
                 print(f"iter {it:5d} step {(it + 1) * per_iter:>11,} "
                       f"sps {sps:>10,.0f} r {float(r):.3f} "
-                      f"closs {float(closs):.3f} aloss {float(aloss):.3f}",
+                      f"ep_rew {ep_r:8.2f} ep_len {ep_l:6.1f} "
+                      f"closs {float(closs):.3f} aloss {float(aloss):.3f} "
+                      f"alpha {float(alpha):.3f}",
                       flush=True)
         return s
 

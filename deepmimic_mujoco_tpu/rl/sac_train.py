@@ -1,0 +1,91 @@
+"""SAC training entry point: ``python -m deepmimic_mujoco_tpu.rl.sac_train``.
+
+The TPU-native counterpart of the reference's SAC trainer script
+(reference: src/sac_sb3.py:20-89 — DPEnv over 32 subprocess envs,
+buffer 5M, net_arch [1024, 512]). Writes the same metrics JSONL format
+as the PPO trainer so learning curves are directly comparable.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+M = 1_000_000
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("reason", nargs="?", default="")
+    p.add_argument("--motion", default="walk")
+    p.add_argument("--robot", default="humanoid3d")
+    p.add_argument("--n-envs", type=int, default=256)
+    p.add_argument("--buffer", type=int, default=1_000_000)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--steps-per-iter", type=int, default=32)
+    p.add_argument("--updates-per-iter", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--arch", type=int, nargs="+", default=[1024, 512])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--total", type=int, default=10 * M)
+    p.add_argument("--out", default="~/deep_mimic")
+    args = p.parse_args(argv)
+    print("Reason:", args.reason or "(none)")
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from deepmimic_mujoco_tpu.envs import DPEnv
+    from deepmimic_mujoco_tpu.rl.sac import SAC, SACConfig
+
+    env = DPEnv(motion=args.motion, robot=args.robot)
+    cfg = SACConfig(n_envs=args.n_envs, buffer_size=args.buffer,
+                    batch_size=args.batch,
+                    steps_per_iter=args.steps_per_iter,
+                    updates_per_iter=args.updates_per_iter,
+                    lr=args.lr, net_arch=tuple(args.arch),
+                    total_timesteps=args.total)
+    sac = SAC(env, cfg)
+
+    run_name = "sac" + time.strftime("%Y%m%d-%H%M_%S")
+    out_dir = os.path.expanduser(args.out)
+    os.makedirs(out_dir, exist_ok=True)
+    metrics_path = os.path.join(out_dir, run_name + "_metrics.jsonl")
+    config = {"algo": "SAC", "run_reason": args.reason,
+              "motion": args.motion, "robot": args.robot,
+              "arch": list(cfg.net_arch), "n_envs": cfg.n_envs,
+              "buffer_size": cfg.buffer_size, "batch_size": cfg.batch_size,
+              "learning_rate": cfg.lr, "total_timesteps": args.total}
+    with open(metrics_path, "w") as f:
+        f.write(json.dumps({"config": config}) + "\n")
+    print("Logging to", metrics_path)
+
+    per_iter = cfg.n_envs * cfg.steps_per_iter
+
+    def callback(it, s, stats):
+        r, closs, aloss, eps, epc, epl, alpha = stats
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps({
+                "global_step": (it + 1) * per_iter,
+                "mean_reward": float(r),
+                "ep_return": float(eps) / max(float(epc), 1.0),
+                "ep_length": float(epl) / max(float(epc), 1.0),
+                "critic_loss": float(closs), "actor_loss": float(aloss),
+                "alpha": float(alpha),
+            }) + "\n")
+
+    s = sac.train(total_timesteps=args.total, seed=args.seed,
+                  callback=callback)
+    from deepmimic_mujoco_tpu.rl import checkpoint
+
+    path = checkpoint.save_params(
+        os.path.join(out_dir, run_name + "_actor"), s.actor)
+    print("Saved actor params to", path)
+    return s
+
+
+if __name__ == "__main__":
+    main()
