@@ -157,7 +157,7 @@ def test_sac_single_iteration(humanoid_env):
                     steps_per_iter=4, updates_per_iter=2, net_arch=(16,))
     sac = SAC(humanoid_env, cfg)
     s = sac.init(seed=0)
-    s2, (r, closs, aloss) = sac._train_iter(s)
+    s2, (r, closs, aloss, eps, epc, epl, alpha) = sac._train_iter(s)
     assert int(s2.global_step) == 16
     assert np.isfinite(float(closs)) and np.isfinite(float(aloss))
 
