@@ -52,3 +52,32 @@ def restore_params(path: str, template=None):
     path = os.path.abspath(os.path.expanduser(path))
     return ocp.PyTreeCheckpointer().restore(
         path, item=_np_tree(template) if template is not None else None)
+
+
+def adapt_params(params, template):
+    """Adapt a params tree to a template with a WIDER observation input.
+
+    Cross-env warm starts (DPEnv checkpoint -> DPCombinedEnv trainer)
+    differ only in the first-layer input width: the combined env
+    appends player-action dims to the END of the obs vector
+    (envs/obs.py:get_obs), so the extra kernel rows are zero-padded at
+    the bottom — new obs dims initially contribute nothing and the
+    pretrained mapping is preserved exactly. Any other shape mismatch
+    is an error.
+    """
+
+    def one(p, t):
+        p = np.asarray(p)
+        t = np.asarray(t)
+        if p.shape == t.shape:
+            return p
+        if (p.ndim == 2 and t.ndim == 2 and p.shape[1] == t.shape[1]
+                and t.shape[0] > p.shape[0]):
+            pad = np.zeros((t.shape[0] - p.shape[0], p.shape[1]), p.dtype)
+            return np.concatenate([p, pad], axis=0)
+        raise ValueError(
+            f"cannot adapt param of shape {p.shape} to {t.shape}")
+
+    if jax.tree.structure(params) != jax.tree.structure(template):
+        raise ValueError("params tree structure mismatch")
+    return jax.tree.map(one, params, template)

@@ -108,6 +108,16 @@ def main(argv=None):
         init_params = checkpoint.restore_params(
             os.path.expanduser(args.init_params))
         print("Warm-starting params from", args.init_params)
+        import jax
+        import jax.numpy as jnp
+
+        template = ppo.net.init(jax.random.PRNGKey(0),
+                                jnp.zeros((env.obs_size,), jnp.float32))
+        if any(jax.tree.leaves(jax.tree.map(
+                lambda a, b: a.shape != b.shape, init_params, template))):
+            init_params = checkpoint.adapt_params(init_params, template)
+            print("Adapted warm-start params to the wider obs input "
+                  "(zero-padded first-layer rows)")
         if args.reset_log_std is not None:
             import numpy as np
 
