@@ -73,6 +73,14 @@ class StepOut(NamedTuple):
     done: jnp.ndarray
     done_reason: jnp.ndarray     # i32 code
     reward_info: reward_lib.RewardInfo
+    # Root planar-velocity match vs the mocap frame, exp(-|dv_xy|),
+    # NOT part of the reference reward (its CoM weight wc=0). Exposed
+    # for training-only shaping on hard-exploration clips: the alive
+    # bonus alone admits a "stand still" optimum; weighting this term
+    # into GAE rewards moving like the clip. Same formula as the
+    # combined env's walk/run task reward (reference:
+    # src/combined_env.py:340-347) with gain 1 instead of 10.
+    vel_match: jnp.ndarray
 
 
 class DPEnv:
@@ -243,8 +251,11 @@ class DPEnv:
             episode_length=state.episode_length + 1,
             episode_reward=state.episode_reward + reward,
             key=state.key, lam=data.lam)
+        dv = qvel[:2] - self.mocap_qvel[idx][:2]
+        vel_match = jnp.exp(-jnp.sqrt((dv * dv).sum() + 1e-12))
         out = StepOut(obs=obs, reward=reward, done=done,
-                      done_reason=reason, reward_info=rew)
+                      done_reason=reason, reward_info=rew,
+                      vel_match=vel_match)
         return new_state, out
 
     def step_auto_reset(self, state: DPEnvState, action: jnp.ndarray

@@ -69,6 +69,10 @@ class PPOConfig:
     # selected/evaluated on the true imitation reward.
     alive_bonus: float = 0.0
     alive_bonus_decay_steps: int = 0
+    # Root planar-velocity-match shaping (StepOut.vel_match), annealed
+    # on the same schedule as the alive bonus. Defeats the "stand
+    # still" optimum the alive bonus admits on clips that move.
+    vel_shaping: float = 0.0
     init_log_std: float = 0.0
     net_arch: tuple = (256, 128)
     total_timesteps: int = 500_000_000
@@ -93,6 +97,7 @@ class Transition(NamedTuple):
     value: jnp.ndarray
     reward: jnp.ndarray
     done: jnp.ndarray
+    shaping: jnp.ndarray   # extra training-only reward (0 when unused)
 
 
 class IterStats(NamedTuple):
@@ -174,8 +179,13 @@ class PPO:
                      done_f.sum(), (ep_len * out.done).sum())
             ep_ret = jnp.where(out.done, 0.0, ep_ret)
             ep_len = jnp.where(out.done, 0, ep_len)
+            if cfg.vel_shaping:
+                shaping = cfg.vel_shaping * out.vel_match
+            else:
+                shaping = jnp.zeros_like(out.reward)
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
-                            reward=out.reward, done=out.done)
+                            reward=out.reward, done=out.done,
+                            shaping=shaping)
             return (env_states, out.obs, key, ep_ret, ep_len), (tr, stats)
 
         carry0 = (ts.env_states, ts.last_obs, ts.key, ts.ep_return,
@@ -186,22 +196,20 @@ class PPO:
         # ---- GAE (reverse scan over the horizon) ----------------------
         _, _, last_value = net.apply(ts.params, last_obs)
 
-        if cfg.alive_bonus:
-            if cfg.alive_bonus_decay_steps:
-                frac = 1.0 - (ts.global_step.astype(jnp.float32)
-                              / float(cfg.alive_bonus_decay_steps))
-                bonus_now = cfg.alive_bonus * jnp.clip(frac, 0.0, 1.0)
-            else:
-                bonus_now = jnp.float32(cfg.alive_bonus)
+        shaped = cfg.alive_bonus or cfg.vel_shaping
+        if shaped and cfg.alive_bonus_decay_steps:
+            frac = jnp.clip(
+                1.0 - (ts.global_step.astype(jnp.float32)
+                       / float(cfg.alive_bonus_decay_steps)), 0.0, 1.0)
         else:
-            bonus_now = None
+            frac = jnp.float32(1.0)
 
         def gae_step(carry, tr):
             adv_next, value_next = carry
             nonterminal = 1.0 - tr.done.astype(jnp.float32)
             r = tr.reward
-            if bonus_now is not None:
-                r = r + bonus_now * nonterminal
+            if shaped:
+                r = r + frac * (cfg.alive_bonus * nonterminal + tr.shaping)
             delta = r + cfg.gamma * value_next * nonterminal - tr.value
             adv = delta + cfg.gamma * cfg.gae_lambda * nonterminal * adv_next
             return (adv, tr.value), adv

@@ -53,6 +53,10 @@ def parse_reason(argv=None, required=True):
                    help="training-only survival shaping added to "
                         "non-terminal GAE rewards (hard-exploration "
                         "clips); logged metrics stay on the true reward")
+    p.add_argument("--vel-shaping", type=float, default=0.0,
+                   help="training-only root planar-velocity-match "
+                        "shaping weight (DPEnv only); annealed with "
+                        "--alive-bonus-decay")
     p.add_argument("--alive-bonus-decay", type=int, default=0,
                    help="global steps over which --alive-bonus anneals "
                         "linearly to 0 (0 = constant)")
@@ -101,6 +105,7 @@ def main(argv=None):
                         adv_std_floor=args.adv_std_floor,
                         alive_bonus=args.alive_bonus,
                         alive_bonus_decay_steps=args.alive_bonus_decay,
+                        vel_shaping=args.vel_shaping,
                         init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
     init_params = None
