@@ -1,0 +1,72 @@
+"""Trained-checkpoint behavioral regression gates.
+
+The reference's only behavior-level regression test is
+play_g1_run_polar_breeze.py:50 (`assert ep_rew > 90` on a trained
+checkpoint). These tests formalize that pattern against checkpoints
+committed in runs/: any engine/env change that breaks a trained
+policy's dynamics contract fails here (observed failure mode: solver
+warm-start moved the walk gate from 339 to 27).
+
+Episodes run as one jitted scan; ~1-2 min each on CPU.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.envs import DPEnv
+from deepmimic_mujoco_tpu.rl import networks
+from deepmimic_mujoco_tpu.rl.checkpoint import restore_params
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GATES = [
+    # (checkpoint dir, motion, robot, idx_init, min reward)
+    ("runs/walk_test20260816-1420_50_videos/walk_test20260816-1420_50_best",
+     "walk", "unitree_g1", 20, 90.0),
+    # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50) —
+    # added once a run checkpoint lands:
+    ("runs/run_best", "run", "unitree_g1", 20, 90.0),
+]
+
+
+def _episode_reward(ckpt, motion, robot, idx_init, max_steps=1000):
+    env = DPEnv(motion=motion, robot=robot)
+    net = networks.ActorCritic(env.action_size)
+    tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros(env.obs_size))
+    params = restore_params(ckpt, tmpl)
+
+    @jax.jit
+    def episode(key):
+        state0, obs0 = env.reset(key, idx_init=idx_init)
+
+        def body(carry, _):
+            state, obs, alive = carry
+            mean, _, _ = net.apply(params, obs)
+            nstate, out = env.step(state, mean)
+            alive_f = alive.astype(out.reward.dtype)
+            r = out.reward * alive_f
+            nalive = alive & ~out.done
+            state = jax.tree.map(
+                lambda a, b: jnp.where(alive, a, b), nstate, state)
+            obs = jnp.where(alive, out.obs, obs)
+            return (state, obs, nalive), r
+
+        _, rews = jax.lax.scan(body, (state0, obs0, jnp.ones((), bool)),
+                               None, length=max_steps)
+        return rews.sum()
+
+    return float(episode(jax.random.PRNGKey(0)))
+
+
+@pytest.mark.parametrize("ckpt,motion,robot,idx,min_rew", GATES)
+def test_checkpoint_gate(ckpt, motion, robot, idx, min_rew):
+    path = os.path.join(_REPO, ckpt)
+    if not os.path.isdir(path):
+        pytest.skip(f"checkpoint not committed yet: {ckpt}")
+    rew = _episode_reward(path, motion, robot, idx)
+    assert rew > min_rew, (
+        f"{motion}/{robot} gate failed: ep_rew {rew:.2f} <= {min_rew}")
