@@ -149,10 +149,14 @@ def eval_dashboard_rollout(ppo, params, n: int, run_name: str,
             "eval_best_episode_reward": float(log[:, 2].max()),
         })
 
-    # best-checkpoint saving (reference: src/sb3_ppo.py:137-138)
+    # best-checkpoint saving (reference: src/sb3_ppo.py:137-138), plus
+    # an always-current snapshot so mid-run policies can be probed or
+    # warm-started without waiting for the final save
     if log[:, 2].max() == log[-1, 2]:
         checkpoint.save_params(
             os.path.join(video_dir, run_name + "_best"), params)
+    checkpoint.save_params(
+        os.path.join(video_dir, run_name + "_latest"), params)
     print(f"Eval: LEN {tr['ep_len']}, EP_REW {tr['ep_rew']:.2f}")
     return tr
 
