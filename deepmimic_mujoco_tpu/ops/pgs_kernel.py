@@ -142,9 +142,14 @@ def _make_pgs(K, L, iterations, interpret=False):
 
     @pgs.def_vmap
     def _pgs_vmap(axis_size, in_batched, A, b, inv_diag, mu, active, lam0):
-        assert all(in_batched), "pgs expects all operands batched"
-        out = _pgs_batched(A, b, inv_diag, mu, active, lam0, K=K, L=L,
-                           iterations=iterations, interpret=interpret)
+        # operands that are env-independent (e.g. a zeros lam0, or a
+        # constant-folded friction vector) arrive unbatched — broadcast
+        ops = [jnp.broadcast_to(x, (axis_size,) + x.shape) if not bt
+               else x
+               for x, bt in zip((A, b, inv_diag, mu, active, lam0),
+                                in_batched)]
+        out = _pgs_batched(*ops, K=K, L=L, iterations=iterations,
+                           interpret=interpret)
         return out, True
 
     return pgs
