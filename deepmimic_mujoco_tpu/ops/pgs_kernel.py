@@ -65,6 +65,9 @@ def _pgs_kernel(A_ref, b_ref, invd_ref, mu_ref, active_ref, lam0_ref,
     active = active_ref[...]
 
     def matvec(v):          # (E, n_pad) -> (E, n_pad); A symmetric
+        # sublane reduction; the lane-axis variant (A * v[:, None, :]
+        # summed over axis 2) lowers pathologically in Mosaic (>15 min
+        # for a bench the sublane form finishes in 2)
         return jnp.sum(A * v[:, :, None], axis=1)
 
     # ---- power iteration for the largest eigenvalue of D^-1 A on the
