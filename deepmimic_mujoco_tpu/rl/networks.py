@@ -64,3 +64,87 @@ def gaussian_logp(action, mean, log_std):
 
 def gaussian_entropy(log_std):
     return (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum(-1)
+
+
+class PDTargetActorCritic(ActorCritic):
+    """ActorCritic whose action is a PD-style joint-space delta.
+
+    The DeepMimic paper's key trainability lever is a PD action space;
+    with a delta-from-current-pose target this reduces to a fixed
+    per-joint affine transform of the network output:
+
+        torque_i = kp_i * a_i - kd_i * qvel_i
+        env_action = torque / act_scale
+
+    Joint velocities are read from the observation itself (the env's
+    obs layout puts ``qvel[6:] * vel_obs_scale`` right after
+    ``qpos[7:]``, envs/obs.py:get_obs), so the deployed policy remains
+    a pure obs -> env-action function — checkpoint playback and the
+    reference's reward gates see a standard torque policy. Exploration
+    noise lives in delta space: sampled noise becomes kp-scaled torque
+    with velocity damping, which keeps random exploration from
+    instantly destabilizing contact-rich poses.
+
+    ``env_action`` is the bridge the trainer/eval call between
+    sampling (delta space, where logp/ratios live) and the env (torque
+    action space).
+    """
+    kp: Sequence[float] = ()
+    kd: Sequence[float] = ()
+    # obs columns holding each actuated joint's scaled qvel (the
+    # actuator -> joint mapping is NOT contiguous: G1 interleaves arm
+    # and hand joints, actuator_trnid 1..18,26..30,19..)
+    qvel_cols: Sequence[int] = ()
+    vel_obs_scale: float = 0.1
+    act_scale: float = 20.0
+
+    def env_action(self, obs, a_delta):
+        kp = jnp.asarray(self.kp, a_delta.dtype)
+        kd = jnp.asarray(self.kd, a_delta.dtype)
+        cols = jnp.asarray(self.qvel_cols)
+        qvel = obs[..., cols] / self.vel_obs_scale
+        return (kp * a_delta - kd * qvel) / self.act_scale
+
+
+def make_policy(kind: str, env, net_arch=(256, 128), init_log_std=0.0,
+                log_std_min=-4.0, log_std_max=1.0):
+    """Policy factory: "torque" (reference parity) or "pd" (PD-delta).
+
+    PD gains default to the actuator ctrl range (full-scale torque at
+    1 rad error) with kd = kp/10, the reference's kp:kd ratio
+    (src/mujoco/mocap_util.py:22-24).
+    """
+    if kind == "torque":
+        return ActorCritic(env.action_size, net_arch=tuple(net_arch),
+                           init_log_std=init_log_std,
+                           log_std_min=log_std_min,
+                           log_std_max=log_std_max)
+    if kind != "pd":
+        raise ValueError(f"unknown policy kind: {kind}")
+    import numpy as np
+
+    env = getattr(env, "env", env)   # unwrap GymDPEnv
+    m = env.model
+    hi = np.asarray(m.actuator_ctrlrange[:env.action_size, 1], np.float32)
+    kp = tuple(float(x) for x in hi)
+    kd = tuple(float(x) / 10.0 for x in hi)
+    # obs column of each actuated joint's scaled qvel: obs layout is
+    # [qpos[7:] (nq-7) | qvel[6:] * scale (nv-6) | ...]
+    trnid = np.asarray(m.actuator_trnid).reshape(m.nu, -1)[:, 0]
+    dofadr = np.asarray(m.jnt_dofadr)[trnid[:env.action_size]]
+    qvel_cols = tuple(int((m.nq - 7) + (d - 6)) for d in dofadr)
+    return PDTargetActorCritic(
+        env.action_size, net_arch=tuple(net_arch),
+        init_log_std=init_log_std, log_std_min=log_std_min,
+        log_std_max=log_std_max, kp=kp, kd=kd,
+        qvel_cols=qvel_cols,
+        vel_obs_scale=env.ENV_CFG.VEL_OBS_SCALE,
+        act_scale=float(env.spec.act_scale))
+
+
+def env_action(net, obs, action):
+    """Map a policy-space action to the env action space (identity for
+    plain torque policies)."""
+    if hasattr(net, "env_action"):
+        return net.env_action(obs, action)
+    return action

@@ -59,6 +59,10 @@ class PPOConfig:
     log_std_min: float = -4.0
     log_std_max: float = 1.0
     adam_eps: float = 1e-5  # torch.optim.Adam default used by SB3
+    # "torque" = reference-parity raw-torque policy; "pd" = PD-delta
+    # action space (networks.PDTargetActorCritic) — the deployed policy
+    # is still a pure obs -> torque-action function.
+    policy: str = "torque"
     # Training-only survival shaping for hard-exploration clips (G1
     # run): each non-terminal transition's reward is boosted by
     # ``alive_bonus`` inside GAE, linearly annealed to zero over
@@ -120,8 +124,8 @@ class PPO:
     def __init__(self, env, cfg: Optional[PPOConfig] = None):
         self.env = env
         self.cfg = cfg or PPOConfig()
-        self.net = networks.ActorCritic(
-            env.action_size, net_arch=tuple(self.cfg.net_arch),
+        self.net = networks.make_policy(
+            self.cfg.policy, env, net_arch=tuple(self.cfg.net_arch),
             init_log_std=self.cfg.init_log_std,
             log_std_min=self.cfg.log_std_min,
             log_std_max=self.cfg.log_std_max)
@@ -170,8 +174,9 @@ class PPO:
             key, akey = jax.random.split(key)
             mean, log_std, value = net.apply(ts.params, obs)
             action, logp = networks.sample_action(akey, mean, log_std)
+            env_a = networks.env_action(net, obs, action)
             env_states, out = jax.vmap(self.env.step_auto_reset)(
-                env_states, action)
+                env_states, env_a)
             ep_ret = ep_ret + out.reward
             ep_len = ep_len + 1
             done_f = out.done.astype(jnp.float32)
@@ -341,8 +346,10 @@ class PPO:
 
     # ---- inference --------------------------------------------------------
     def act(self, params, obs, deterministic: bool = True, key=None):
-        mean, log_std, value = self.net.apply(params, jnp.asarray(obs))
+        """Returns the ENV-space action (PD policies transform here)."""
+        obs = jnp.asarray(obs)
+        mean, log_std, value = self.net.apply(params, obs)
         if deterministic:
-            return mean, value
+            return networks.env_action(self.net, obs, mean), value
         a, _ = networks.sample_action(key, mean, log_std)
-        return a, value
+        return networks.env_action(self.net, obs, a), value

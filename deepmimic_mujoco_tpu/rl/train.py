@@ -53,6 +53,11 @@ def parse_reason(argv=None, required=True):
                    help="training-only survival shaping added to "
                         "non-terminal GAE rewards (hard-exploration "
                         "clips); logged metrics stay on the true reward")
+    p.add_argument("--policy", default="torque",
+                   choices=["torque", "pd"],
+                   help="action parameterization: raw torque (reference "
+                        "parity) or PD-delta (DeepMimic-paper action "
+                        "space; deployed policy is still obs->torque)")
     p.add_argument("--vel-shaping", type=float, default=0.0,
                    help="training-only root planar-velocity-match "
                         "shaping weight (DPEnv only); annealed with "
@@ -106,6 +111,7 @@ def main(argv=None):
                         alive_bonus=args.alive_bonus,
                         alive_bonus_decay_steps=args.alive_bonus_decay,
                         vel_shaping=args.vel_shaping,
+                        policy=args.policy,
                         init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
     init_params = None

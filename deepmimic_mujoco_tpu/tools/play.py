@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--robot", default="humanoid3d")
     p.add_argument("--checkpoint", default=None,
                    help="orbax params dir or extracted .npz")
+    p.add_argument("--policy", default="torque",
+                   choices=["torque", "pd"],
+                   help="policy parameterization the checkpoint was "
+                        "trained with (see rl/networks.py:make_policy)")
     p.add_argument("--idx-init", type=int, default=20)
     p.add_argument("--max-steps", type=int, default=1000)
     p.add_argument("--assert-reward", type=float, default=None)
@@ -69,11 +73,16 @@ def main(argv=None):
         from deepmimic_mujoco_tpu.rl import networks
         from deepmimic_mujoco_tpu.rl.checkpoint import restore_params
 
-        net = networks.ActorCritic(env.action_space.shape[0])
+        net = networks.make_policy(args.policy, env)
         template = net.init(jax.random.PRNGKey(0),
                             jnp.zeros(env.observation_space.shape[0]))
         params = restore_params(args.checkpoint, template)
-        fwd = jax.jit(lambda o: net.apply(params, o)[0])
+
+        def fwd_fn(o):
+            mean = net.apply(params, o)[0]
+            return networks.env_action(net, o, mean)
+
+        fwd = jax.jit(fwd_fn)
         policy = lambda o: np.asarray(fwd(jnp.asarray(o, jnp.float32)))
 
     frames = []

@@ -168,3 +168,33 @@ def test_profiling_stage_breakdown_smoke(humanoid_env):
     rows = stage_breakdown(humanoid_env, batch=4)
     assert len(rows) == 7
     assert all(t >= 0 for _, t, _ in rows)
+
+
+def test_pd_policy_env_action():
+    """PD-delta policy: env action = (kp*a - kd*qvel)/act_scale with
+    qvel gathered from the obs at the actuator's dof columns (the G1
+    actuator->joint map is non-contiguous)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.envs import DPEnv
+    from deepmimic_mujoco_tpu.rl import networks
+
+    env = DPEnv(motion="walk", robot="unitree_g1")
+    net = networks.make_policy("pd", env)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    a = jnp.ones(env.action_size)
+    ea = np.asarray(networks.env_action(net, obs, a))
+    kp = np.asarray(net.kp)
+    kd = np.asarray(net.kd)
+    cols = np.asarray(net.qvel_cols)
+    qv = np.asarray(obs)[cols] / env.ENV_CFG.VEL_OBS_SCALE
+    np.testing.assert_allclose(ea, (kp * 1.0 - kd * qv) / 20.0, rtol=1e-5)
+    # qvel columns must equal the true qvel of each actuated joint
+    import numpy as onp
+    m = env.model
+    trnid = onp.asarray(m.actuator_trnid).reshape(m.nu, -1)[:, 0]
+    dof = onp.asarray(m.jnt_dofadr)[trnid[:env.action_size]]
+    np.testing.assert_allclose(
+        onp.asarray(obs)[cols] / env.ENV_CFG.VEL_OBS_SCALE,
+        onp.asarray(state.qvel)[dof], rtol=1e-4, atol=1e-5)
