@@ -24,6 +24,12 @@ class ExtractedPolicy:
         while f"w{i}" in data:
             self.layers.append((data[f"w{i}"], data[f"b{i}"]))
             i += 1
+        self.pd = None
+        if "pd_kp" in data:
+            self.pd = (data["pd_kp"], data["pd_kd"],
+                       data["pd_qvel_cols"].astype(int),
+                       float(data["pd_vel_obs_scale"]),
+                       float(data["pd_act_scale"]))
         golden_path = weights_path.replace(".npz", "_golden.json")
         self.golden = None
         if os.path.exists(golden_path):
@@ -31,11 +37,18 @@ class ExtractedPolicy:
                 self.golden = json.load(f)
 
     def act(self, obs):
-        x = np.asarray(obs, np.float64)
+        obs = np.asarray(obs, np.float64)
+        x = obs
         for i, (w, b) in enumerate(self.layers):
             x = x @ w + b
             if i < len(self.layers) - 1:
                 x = np.tanh(x)
+        if self.pd is not None:
+            # PD-delta policies (networks.PDTargetActorCritic): the
+            # network output is a joint delta; the env action is
+            # (kp*delta - kd*qvel)/act_scale with qvel read from obs
+            kp, kd, cols, vscale, ascale = self.pd
+            x = (kp * x - kd * obs[..., cols] / vscale) / ascale
         return x
 
     def test(self):
@@ -48,12 +61,17 @@ class ExtractedPolicy:
         return True
 
 
-def extract_policy(params, obs_example, out_path: str) -> str:
+def extract_policy(params, obs_example, out_path: str,
+                   net=None) -> str:
     """Export the actor trunk of an ActorCritic params tree to .npz +
-    golden vector JSON. Returns the .npz path."""
+    golden vector JSON. Returns the .npz path.
+
+    ``net``: pass the PDTargetActorCritic the checkpoint was trained
+    with to bake its PD transform into the artifact; default exports a
+    plain torque policy."""
     import jax.numpy as jnp
 
-    from deepmimic_mujoco_tpu.rl.networks import ActorCritic
+    from deepmimic_mujoco_tpu.rl.networks import ActorCritic, env_action
 
     # actor layers are Dense_0..Dense_k in declaration order: trunk + head
     p = params["params"]
@@ -65,6 +83,12 @@ def extract_policy(params, obs_example, out_path: str) -> str:
     for i, name in enumerate(names[:n_actor]):
         arrs[f"w{i}"] = np.asarray(p[name]["kernel"], np.float64)
         arrs[f"b{i}"] = np.asarray(p[name]["bias"], np.float64)
+    if net is not None and hasattr(net, "env_action"):
+        arrs["pd_kp"] = np.asarray(net.kp, np.float64)
+        arrs["pd_kd"] = np.asarray(net.kd, np.float64)
+        arrs["pd_qvel_cols"] = np.asarray(net.qvel_cols, np.int64)
+        arrs["pd_vel_obs_scale"] = np.float64(net.vel_obs_scale)
+        arrs["pd_act_scale"] = np.float64(net.act_scale)
     out_path = os.path.expanduser(out_path)
     if not out_path.endswith(".npz"):
         out_path += ".npz"
@@ -74,10 +98,14 @@ def extract_policy(params, obs_example, out_path: str) -> str:
     pol = ExtractedPolicy(out_path)
     obs = np.asarray(obs_example, np.float64)
     action = pol.act(obs)
-    ac = ActorCritic(action_dim=action.shape[-1],
-                     net_arch=tuple(a.shape[0] for a in
-                                    [arrs[f"b{i}"] for i in range(n_actor - 1)]))
-    mean, _, _ = ac.apply(params, jnp.asarray(obs, jnp.float32))
+    if net is None:
+        net = ActorCritic(
+            action_dim=action.shape[-1],
+            net_arch=tuple(a.shape[0] for a in
+                           [arrs[f"b{i}"] for i in range(n_actor - 1)]))
+    o32 = jnp.asarray(obs, jnp.float32)
+    mean, _, _ = net.apply(params, o32)
+    mean = env_action(net, o32, mean)
     assert np.allclose(np.asarray(mean), action, atol=1e-4), \
         "extracted policy disagrees with flax forward"
     with open(out_path.replace(".npz", "_golden.json"), "w") as f:

@@ -198,3 +198,29 @@ def test_pd_policy_env_action():
     np.testing.assert_allclose(
         onp.asarray(obs)[cols] / env.ENV_CFG.VEL_OBS_SCALE,
         onp.asarray(state.qvel)[dof], rtol=1e-4, atol=1e-5)
+
+
+def test_extracted_policy_pd_roundtrip(tmp_path):
+    """PD-delta checkpoints extract to a numpy artifact that bakes the
+    kp/kd transform (deployment parity for policy='pd')."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.envs import DPEnv
+    from deepmimic_mujoco_tpu.rl import networks
+    from deepmimic_mujoco_tpu.rl.extracted_policy import (
+        ExtractedPolicy, extract_policy,
+    )
+
+    env = DPEnv(motion="walk", robot="humanoid3d", iterations=8)
+    net = networks.make_policy("pd", env, net_arch=(16, 8))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(env.obs_size))
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    path = extract_policy(jax.tree.map(np.asarray, params),
+                          np.asarray(obs), str(tmp_path / "pd.npz"),
+                          net=net)
+    pol = ExtractedPolicy(path)
+    assert pol.test()
+    mean, _, _ = net.apply(params, obs)
+    want = np.asarray(networks.env_action(net, obs, mean))
+    np.testing.assert_allclose(pol.act(np.asarray(obs)), want, atol=1e-4)
