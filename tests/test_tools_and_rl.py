@@ -224,3 +224,28 @@ def test_extracted_policy_pd_roundtrip(tmp_path):
     mean, _, _ = net.apply(params, obs)
     want = np.asarray(networks.env_action(net, obs, mean))
     np.testing.assert_allclose(pol.act(np.asarray(obs)), want, atol=1e-4)
+
+
+def test_ppo_shaping_anneal(humanoid_env):
+    """Alive-bonus + vel-shaping enter GAE scaled by the linear anneal
+    fraction; with a decayed-out global step they contribute nothing
+    (training metrics always report the true reward)."""
+    from deepmimic_mujoco_tpu.rl import PPO, PPOConfig
+
+    base = dict(n_envs=4, horizon=4, minibatch_size=8, epochs=1,
+                net_arch=(8,), lr=0.0)
+    cfg_off = PPOConfig(**base)
+    cfg_on = PPOConfig(**base, alive_bonus=0.5, vel_shaping=0.5,
+                       alive_bonus_decay_steps=100)
+    p_off = PPO(humanoid_env, cfg_off)
+    p_on = PPO(humanoid_env, cfg_on)
+    ts_off = p_off.init(seed=0)
+    ts_on = p_on.init(seed=0)
+    # past the decay horizon the shaped run matches the unshaped one
+    ts_on = ts_on._replace(global_step=jnp.asarray(1000, jnp.int32))
+    _, s_off = p_off._train_iter(ts_off)
+    _, s_on = p_on._train_iter(ts_on)
+    np.testing.assert_allclose(float(s_on.mean_reward),
+                               float(s_off.mean_reward), rtol=1e-5)
+    np.testing.assert_allclose(float(s_on.v_loss), float(s_off.v_loss),
+                               rtol=1e-4)
