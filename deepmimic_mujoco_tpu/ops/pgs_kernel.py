@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ENV_BLOCK = 16  # envs per grid program (A block: 16 x 128 x 128 f32 = 1 MB)
+import os
+
+# envs per grid program. A block costs E x 128 x 128 f32 = E/16 MB of
+# VMEM; larger blocks amortize per-program launch + DMA overhead (the
+# dominant cost at E=16: 256 programs for a 4096-env batch).
+ENV_BLOCK = int(os.environ.get("DM_TPU_PGS_BLOCK", "64"))
 POWER_ITERS = 12  # matches physics/solver.py:_pgs_iterate
 
 
