@@ -27,6 +27,7 @@ GATES = [
     # (checkpoint dir, motion, robot, idx_init, min reward)
     ("runs/walk_test20260816-1420_50_videos/walk_test20260816-1420_50_best",
      "walk", "unitree_g1", 20, 90.0),
+    ("runs/walk_final_params", "walk", "humanoid3d", 20, 90.0),
     # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50) —
     # added once a run checkpoint lands:
     ("runs/run_best", "run", "unitree_g1", 20, 90.0),
