@@ -189,3 +189,62 @@ def fit_capsule(verts: np.ndarray):
         ang = float(np.arctan2(s, float(z @ axis)))
         quat = hq.from_axis_angle(v / s, np.asarray(ang))
     return mid, quat, radius, half
+
+
+def _support_error(verts, caps, dirs):
+    """Mean outward protrusion of a capsule union beyond the hull,
+    measured by support functions over sample directions."""
+    from deepmimic_mujoco_tpu.utils import hostquat as hq
+
+    h_hull = (dirs @ verts.T).max(1)
+    sup = []
+    for pos, quat, r, h in caps:
+        axis = hq.to_mat(np.asarray(quat))[:, 2]
+        sup.append(dirs @ np.asarray(pos) + np.abs(dirs @ axis) * h + r)
+    return np.maximum(np.max(sup, axis=0) - h_hull, 0.0).mean()
+
+
+def fit_capsules_adaptive(verts: np.ndarray, k: int = 2, n_dirs: int = 64):
+    """fit_capsules, but keep the decomposition only if it is a
+    measurably tighter over-approximation than the single PCA capsule
+    (it wins on elongated links — G1 knee/hip-yaw — and loses on
+    compact ones like the pelvis, where the split's endcap protrusion
+    dominates)."""
+    single = [fit_capsule(verts)]
+    multi = fit_capsules(verts, k)
+    if len(multi) < 2:
+        return single
+    rng = np.random.default_rng(12345)
+    dirs = rng.normal(size=(n_dirs, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    e1 = _support_error(verts, single, dirs)
+    e2 = _support_error(verts, multi, dirs)
+    return multi if e2 < 0.95 * e1 else single
+
+
+def fit_capsules(verts: np.ndarray, k: int):
+    """Multi-capsule PCA fit: split the hull-vertex cloud into ``k``
+    equal-count segments along its principal axis and fit one capsule
+    per segment (fit_capsule semantics each). A single fat capsule
+    over-approximates elongated/L-shaped links (G1 shins, forearms),
+    producing false self-contacts in collapse poses; per-segment
+    capsules track the geometry much closer. Returns a list of
+    (pos, quat_wxyz, radius, half_length).
+    """
+    verts = np.asarray(verts, np.float64)
+    if k <= 1 or len(verts) < 2 * k:
+        return [fit_capsule(verts)]
+    c = verts.mean(0)
+    d = verts - c
+    _, _, vt = np.linalg.svd(d, full_matrices=False)
+    t = d @ vt[0]
+    order = np.argsort(t)
+    out = []
+    # overlapping segments (one-third overlap) so the union stays a
+    # cover of the hull across the split planes
+    bounds = np.linspace(0, len(verts), k + 1).astype(int)
+    for i in range(k):
+        lo = max(bounds[i] - len(verts) // (3 * k), 0)
+        hi = min(bounds[i + 1] + len(verts) // (3 * k), len(verts))
+        out.append(fit_capsule(verts[order[lo:hi]]))
+    return out

@@ -351,10 +351,12 @@ class _Builder:
         hv = mesh_utils.hull_vertices(tris)
         hv = hq.rotate_inv(np.broadcast_to(mquat, (len(hv), 4)), hv - centroid)
         cpos, cquat, crad, chalf = mesh_utils.fit_capsule(hv)
+        subs = tuple((p, q, r, h)
+                     for p, q, r, h in mesh_utils.fit_capsules_adaptive(hv, 2))
         mid = len(self.meshes)
         self.meshes.append(Mesh(
             name=name, verts=hv, capsule_pos=cpos, capsule_quat=cquat,
-            capsule_size=(crad, chalf),
+            capsule_size=(crad, chalf), sub_capsules=subs,
         ))
         self.mesh_frames[name] = (centroid, mquat)
         self.mesh_ids[name] = mid

@@ -56,6 +56,10 @@ class Mesh:
     capsule_pos: np.ndarray               # (3,)
     capsule_quat: np.ndarray              # (4,) wxyz, z = axis
     capsule_size: Tuple[float, float]     # (radius, half_length)
+    # finer 2-segment decomposition along the principal axis, used by
+    # Engine(mesh_subcapsules=2) for tighter self-collision in collapse
+    # poses; each entry is (pos, quat_wxyz, radius, half_length)
+    sub_capsules: tuple = ()
 
 
 @dataclasses.dataclass

@@ -77,14 +77,33 @@ class PairGroup(NamedTuple):
     # their rest overlap subtracted (see calibrate_proxy_gaps)
     gap: np.ndarray
     is_proxy: np.ndarray   # (npair,) bool: either geom collides via proxy
+    # sub-capsule index per pair side (-1 = whole-mesh PCA capsule /
+    # primitive); >=0 selects Mesh.sub_capsules[i] (mesh_subcapsules>1)
+    sub1: np.ndarray = None
+    sub2: np.ndarray = None
 
 
 def _as_capsule_kind(t: int) -> int:
     return CAPSULE if t == CYLINDER else t
 
 
-def build_pair_tables(m: PhysicsModel) -> List[PairGroup]:
-    """Classify candidate pairs into narrow-phase groups."""
+def _n_subs(m: PhysicsModel, g: int, mesh_subcapsules: int) -> int:
+    mid = int(m.geom_meshid[g])
+    if mesh_subcapsules <= 1 or mid < 0:
+        return 0
+    return len(m.meshes[mid].sub_capsules) or 0
+
+
+def build_pair_tables(m: PhysicsModel,
+                      mesh_subcapsules: int = 1) -> List[PairGroup]:
+    """Classify candidate pairs into narrow-phase groups.
+
+    ``mesh_subcapsules > 1`` expands each mesh-involved (non-plane)
+    pair over the meshes' sub-capsule decompositions — tighter
+    self-collision for elongated links at the cost of more candidate
+    slots. Default 1 keeps the single whole-mesh PCA proxy (and the
+    dynamics that round-1/2 policies were trained against).
+    """
     groups: Dict[int, dict] = {}
     for g1, g2 in zip(m.pair_geom1, m.pair_geom2):
         t1 = _as_capsule_kind(int(m.geom_type[g1]))
@@ -113,15 +132,27 @@ def build_pair_tables(m: PhysicsModel) -> List[PairGroup]:
         if kind is None:
             continue
         grp = groups.setdefault(kind, {k: [] for k in (
-            "g1", "g2", "margin", "friction", "solref", "solimp", "condim")})
-        grp["g1"].append(int(g1))
-        grp["g2"].append(int(g2))
-        grp["margin"].append(max(m.geom_margin[g1], m.geom_margin[g2]))
-        grp["friction"].append(
-            np.maximum(m.geom_friction[g1], m.geom_friction[g2]))
-        grp["solref"].append((m.geom_solref[g1] + m.geom_solref[g2]) / 2.0)
-        grp["solimp"].append((m.geom_solimp[g1] + m.geom_solimp[g2]) / 2.0)
-        grp["condim"].append(max(m.geom_condim[g1], m.geom_condim[g2]))
+            "g1", "g2", "sub1", "sub2", "margin", "friction", "solref",
+            "solimp", "condim")})
+        # sub-capsule expansion (proxies only; plane-mesh is exact)
+        n1 = _n_subs(m, g1, mesh_subcapsules) if kind != K_PLANE_MESH else 0
+        n2 = _n_subs(m, g2, mesh_subcapsules) if kind != K_PLANE_MESH else 0
+        for s1 in (range(n1) if n1 else (-1,)):
+            for s2 in (range(n2) if n2 else (-1,)):
+                grp["g1"].append(int(g1))
+                grp["g2"].append(int(g2))
+                grp["sub1"].append(s1)
+                grp["sub2"].append(s2)
+                grp["margin"].append(
+                    max(m.geom_margin[g1], m.geom_margin[g2]))
+                grp["friction"].append(
+                    np.maximum(m.geom_friction[g1], m.geom_friction[g2]))
+                grp["solref"].append(
+                    (m.geom_solref[g1] + m.geom_solref[g2]) / 2.0)
+                grp["solimp"].append(
+                    (m.geom_solimp[g1] + m.geom_solimp[g2]) / 2.0)
+                grp["condim"].append(
+                    max(m.geom_condim[g1], m.geom_condim[g2]))
 
     out = []
     for kind in sorted(groups):
@@ -138,7 +169,9 @@ def build_pair_tables(m: PhysicsModel) -> List[PairGroup]:
             margin=rep(g["margin"]), friction=rep(g["friction"]),
             solref=rep(g["solref"]), solimp=rep(g["solimp"]),
             condim=rep(g["condim"]).astype(np.int32),
-            gap=np.zeros(len(g1a) * ns), is_proxy=is_proxy))
+            gap=np.zeros(len(g1a) * ns), is_proxy=is_proxy,
+            sub1=np.asarray(g["sub1"], np.int64),
+            sub2=np.asarray(g["sub2"], np.int64)))
     return out
 
 
@@ -180,21 +213,31 @@ def total_slots(tables: List[PairGroup]) -> int:
 
 # ---------------- geometry helpers (jnp, batched over pairs) ----------
 
-def _mesh_capsule_world(m, gids, kin: Kin):
+def _mesh_capsule_world(m, gids, kin: Kin, subs=None):
     """World (p0, p1, radius) capsule segment; mesh geoms use their PCA
-    proxy, primitives their own size."""
+    proxy (or sub-capsule ``subs[i]`` when >=0), primitives their own
+    size."""
     pos = kin.geom_xpos[gids]
     mat = kin.geom_xmat[gids]
     rad, half, off, qax = [], [], [], []
-    for g in np.asarray(gids):
+    if subs is None:
+        subs = np.full(len(np.asarray(gids)), -1)
+    for g, s in zip(np.asarray(gids), np.asarray(subs)):
         mid = int(m.geom_meshid[g])
         if mid >= 0:
             mesh = m.meshes[mid]
-            rad.append(mesh.capsule_size[0])
-            half.append(mesh.capsule_size[1])
-            off.append(mesh.capsule_pos)
             from deepmimic_mujoco_tpu.utils import hostquat as hq
-            qax.append(hq.to_mat(mesh.capsule_quat)[:, 2])
+            if s >= 0:
+                cp, cq, cr, ch = mesh.sub_capsules[int(s)]
+                rad.append(cr)
+                half.append(ch)
+                off.append(cp)
+                qax.append(hq.to_mat(cq)[:, 2])
+            else:
+                rad.append(mesh.capsule_size[0])
+                half.append(mesh.capsule_size[1])
+                off.append(mesh.capsule_pos)
+                qax.append(hq.to_mat(mesh.capsule_quat)[:, 2])
         else:
             rad.append(m.geom_size[g][0])
             half.append(m.geom_size[g][1])
@@ -380,7 +423,7 @@ def _narrow(m, kin, grp: PairGroup):
     if kind == K_SPHERE_CAPSULE:
         c1 = kin.geom_xpos[g1]
         r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
-        p0, p1, r2 = _mesh_capsule_world(m, g2, kin)
+        p0, p1, r2 = _mesh_capsule_world(m, g2, kin, grp.sub2)
         _, cb = _seg_seg_closest(c1, c1, p0, p1)
         dvec = cb - c1
         L = jnp.linalg.norm(dvec, axis=-1)
@@ -390,8 +433,8 @@ def _narrow(m, kin, grp: PairGroup):
         return d, cp, nrm
 
     if kind == K_CAPSULE_CAPSULE:
-        p0a, p1a, ra = _mesh_capsule_world(m, g1, kin)
-        p0b, p1b, rb = _mesh_capsule_world(m, g2, kin)
+        p0a, p1a, ra = _mesh_capsule_world(m, g1, kin, grp.sub1)
+        p0b, p1b, rb = _mesh_capsule_world(m, g2, kin, grp.sub2)
         ca, cb = _seg_seg_closest(p0a, p1a, p0b, p1b)
         dvec = cb - ca
         L = jnp.linalg.norm(dvec, axis=-1)
@@ -418,7 +461,7 @@ def _narrow(m, kin, grp: PairGroup):
         return d, cp, nrm
 
     if kind == K_CAPSULE_BOX:
-        p0, p1, rc = _mesh_capsule_world(m, g1, kin)
+        p0, p1, rc = _mesh_capsule_world(m, g1, kin, grp.sub1)
         mat = kin.geom_xmat[g2]
         cb = kin.geom_xpos[g2]
         size = jnp.asarray(m.geom_size[g2], dtype)

@@ -59,7 +59,8 @@ class Engine:
     def __init__(self, model: PhysicsModel, max_contacts: int = 24,
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None,
-                 warm_start_lam: bool = False):
+                 warm_start_lam: bool = False,
+                 mesh_subcapsules: int = 1):
         self.m = model
         self.max_contacts = max_contacts
         self.iterations = iterations if iterations is not None \
@@ -67,7 +68,10 @@ class Engine:
         self.integrator = integrator if integrator is not None \
             else model.opt.integrator
         self.dt = model.opt.timestep
-        self.tables = build_pair_tables(model)
+        # mesh_subcapsules > 1: tighter per-segment proxies for
+        # mesh-mesh self-collision (collapse poses); opt-in because it
+        # changes contact dynamics for trained policies
+        self.tables = build_pair_tables(model, mesh_subcapsules)
         if any(g.is_proxy.any() for g in self.tables):
             from deepmimic_mujoco_tpu.physics.collision import (
                 calibrate_proxy_gaps,
