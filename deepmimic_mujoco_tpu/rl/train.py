@@ -42,6 +42,11 @@ def parse_reason(argv=None, required=True):
                         "constant, else normalization amplifies noise "
                         "into huge KL jumps")
     p.add_argument("--init-log-std", type=float, default=0.0)
+    p.add_argument("--log-std-min", type=float, default=-4.0,
+                   help="hard floor on the learned log-std; every long "
+                        "run observed so far plateaus with exploding "
+                        "KL once log_std decays past ~-1.6 (sigma~0.2 "
+                        "makes ratios hypersensitive to mean shifts)")
     p.add_argument("--init-params", default=None,
                    help="warm-start policy/value params from a "
                         "params-only checkpoint (e.g. an eval 'best' "
@@ -112,6 +117,7 @@ def main(argv=None):
                         alive_bonus_decay_steps=args.alive_bonus_decay,
                         vel_shaping=args.vel_shaping,
                         policy=args.policy,
+                        log_std_min=args.log_std_min,
                         init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
     init_params = None
