@@ -45,6 +45,15 @@ class PPOConfig:
     # a policy can never be permanently frozen (it matches SB3's
     # early-break semantics inside one jitted scan).
     target_kl: Optional[float] = None
+    # Adaptive lr-by-KL (PPO-penalty-style controller): multiply the
+    # effective lr by 0.7 when an iteration's epoch-1 KL exceeds
+    # 1.5*target_kl and by 1.05 when it stays under 0.5*target_kl,
+    # clamped to [lr_min_scale, 1]. Every long run shows returns rise
+    # exactly while KL is under target and stall once it explodes; the
+    # controller keeps the optimizer in the productive regime without
+    # hand-picking lr per phase.
+    adaptive_lr_kl: bool = False
+    lr_min_scale: float = 0.02
     # Linear lr decay to lr*lr_final_frac over total_timesteps
     # (SB3 `learning_rate=linear_schedule` idiom); 1.0 = constant.
     lr_final_frac: float = 1.0
@@ -92,6 +101,8 @@ class TrainState(NamedTuple):
     # running episode accounting (per env)
     ep_return: jnp.ndarray
     ep_length: jnp.ndarray
+    # adaptive lr-by-KL controller state (1.0 when disabled)
+    lr_scale: jnp.ndarray
 
 
 class Transition(NamedTuple):
@@ -116,6 +127,7 @@ class IterStats(NamedTuple):
     clip_frac: jnp.ndarray
     log_std_mean: jnp.ndarray    # collapse diagnostics
     v_loss_max: jnp.ndarray
+    lr_scale: jnp.ndarray        # adaptive-lr controller state
 
 
 class PPO:
@@ -162,7 +174,8 @@ class PPO:
             global_step=jnp.zeros((), jnp.int64)
             if jax.config.jax_enable_x64 else jnp.zeros((), jnp.int32),
             ep_return=jnp.zeros(cfg.n_envs, jnp.float32),
-            ep_length=jnp.zeros(cfg.n_envs, jnp.int32))
+            ep_length=jnp.zeros(cfg.n_envs, jnp.int32),
+            lr_scale=jnp.ones((), jnp.float32))
 
     # ---- one training iteration (rollout + update), fully jitted --------
     def _train_iter_impl(self, ts: TrainState):
@@ -274,6 +287,9 @@ class PPO:
                 live = 1.0 - stopped
                 grads = jax.tree.map(lambda g: g * live, grads)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
+                if cfg.adaptive_lr_kl:
+                    updates = jax.tree.map(lambda u: u * ts.lr_scale,
+                                           updates)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
 
@@ -295,19 +311,29 @@ class PPO:
         pg_loss, v_loss, ent, kl, clipfrac = jax.tree.map(
             lambda x: x.mean(), aux)
 
+        lr_scale = ts.lr_scale
+        if cfg.adaptive_lr_kl and cfg.target_kl is not None:
+            kl_e0 = aux[3][0].mean()   # epoch-1 KL (always unmasked)
+            lr_scale = jnp.where(
+                kl_e0 > 1.5 * cfg.target_kl, lr_scale * 0.7,
+                jnp.where(kl_e0 < 0.5 * cfg.target_kl,
+                          lr_scale * 1.05, lr_scale))
+            lr_scale = jnp.clip(lr_scale, cfg.lr_min_scale, 1.0)
+
         mean_r, ep_ret_sum, ep_cnt, ep_len_sum = stats
         new_ts = TrainState(
             params=params, opt_state=opt_state, env_states=env_states,
             last_obs=last_obs, key=key,
             global_step=ts.global_step + B,
-            ep_return=ep_ret, ep_length=ep_len)
+            ep_return=ep_ret, ep_length=ep_len, lr_scale=lr_scale)
         it_stats = IterStats(
             mean_reward=mean_r.mean(), ep_return_sum=ep_ret_sum.sum(),
             ep_count=ep_cnt.sum(), ep_len_sum=ep_len_sum.sum(),
             pg_loss=pg_loss, v_loss=v_loss, entropy=ent, approx_kl=kl,
             clip_frac=clipfrac,
             log_std_mean=params["params"]["log_std"].mean(),
-            v_loss_max=jax.tree.map(lambda x: x.max(), aux)[1])
+            v_loss_max=jax.tree.map(lambda x: x.max(), aux)[1],
+            lr_scale=lr_scale)
         return new_ts, it_stats
 
     # ---- host loop -------------------------------------------------------

@@ -33,6 +33,9 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--target-kl", type=float, default=None)
+    p.add_argument("--adaptive-lr", action="store_true",
+                   help="adapt lr to hold epoch-1 KL near --target-kl "
+                        "(x0.7 when over 1.5x, x1.05 when under 0.5x)")
     p.add_argument("--lr-final-frac", type=float, default=1.0,
                    help="linear lr decay to lr*frac over the run")
     p.add_argument("--clip-vf", type=float, default=None)
@@ -118,6 +121,7 @@ def main(argv=None):
                         vel_shaping=args.vel_shaping,
                         policy=args.policy,
                         log_std_min=args.log_std_min,
+                        adaptive_lr_kl=args.adaptive_lr,
                         init_log_std=args.init_log_std)
     ppo = PPO(env, cfg)
     init_params = None
@@ -197,6 +201,7 @@ def main(argv=None):
             "approx_kl": float(stats.approx_kl),
             "log_std_mean": float(stats.log_std_mean),
             "v_loss_max": float(stats.v_loss_max),
+            "lr_scale": float(stats.lr_scale),
         })
         if it % eval_every_iters == 0:
             # dashboard videos only every 5th eval: matplotlib holds
