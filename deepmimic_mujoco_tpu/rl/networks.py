@@ -114,6 +114,7 @@ def make_policy(kind: str, env, net_arch=(256, 128), init_log_std=0.0,
     1 rad error) with kd = kp/10, the reference's kp:kd ratio
     (src/mujoco/mocap_util.py:22-24).
     """
+    env = getattr(env, "env", env)   # unwrap GymDPEnv
     if kind == "torque":
         return ActorCritic(env.action_size, net_arch=tuple(net_arch),
                            init_log_std=init_log_std,
@@ -123,7 +124,6 @@ def make_policy(kind: str, env, net_arch=(256, 128), init_log_std=0.0,
         raise ValueError(f"unknown policy kind: {kind}")
     import numpy as np
 
-    env = getattr(env, "env", env)   # unwrap GymDPEnv
     m = env.model
     hi = np.asarray(m.actuator_ctrlrange[:env.action_size, 1], np.float32)
     kp = tuple(float(x) for x in hi)
