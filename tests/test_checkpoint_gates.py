@@ -28,9 +28,12 @@ GATES = [
     ("runs/walk_test20260816-1420_50_videos/walk_test20260816-1420_50_best",
      "walk", "unitree_g1", 20, 90.0),
     ("runs/walk_final_params", "walk", "humanoid3d", 20, 90.0),
-    # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50) —
-    # added once a run checkpoint lands:
-    ("runs/run_best", "run", "unitree_g1", 20, 90.0),
+    # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50):
+    # trained via the alive+velmatch shaping curriculum then five
+    # pure-reward continuations with the adaptive-lr KL controller
+    # (620M steps total); scores 116.39 at commit time.
+    ("runs/run_test20260817-0507_52_videos/run_test20260817-0507_52_best",
+     "run", "unitree_g1", 20, 90.0),
 ]
 
 
