@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from deepmimic_mujoco_tpu.rl import networks
+
 
 def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
                  idx_init: Optional[int] = None):
@@ -50,7 +52,6 @@ def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
         def scan_step(carry, _):
             state, obs, alive = carry
             mean, _, value = ppo.net.apply(params, obs)
-            from deepmimic_mujoco_tpu.rl import networks
             mean = networks.env_action(ppo.net, obs, mean)
             nstate, out = env.step(state, mean)
             alive_f = alive.astype(out.reward.dtype)
