@@ -81,6 +81,10 @@ class StepOut(NamedTuple):
     # combined env's walk/run task reward (reference:
     # src/combined_env.py:340-347) with gain 1 instead of 10.
     vel_match: jnp.ndarray
+    # active contacts dropped by the fixed-slot top-K selection this
+    # step (0 = lossless). Slot saturation silently changes dynamics;
+    # trainers log max/mean of this so it is observable.
+    contact_overflow: jnp.ndarray = None
 
 
 class DPEnv:
@@ -255,7 +259,8 @@ class DPEnv:
         vel_match = jnp.exp(-jnp.sqrt((dv * dv).sum() + 1e-12))
         out = StepOut(obs=obs, reward=reward, done=done,
                       done_reason=reason, reward_info=rew,
-                      vel_match=vel_match)
+                      vel_match=vel_match,
+                      contact_overflow=data.contacts.overflow)
         return new_state, out
 
     def step_auto_reset(self, state: DPEnvState, action: jnp.ndarray

@@ -59,6 +59,11 @@ class Contacts(NamedTuple):
     solref: jnp.ndarray    # (ncon, 2)
     solimp: jnp.ndarray    # (ncon, 5)
     condim: jnp.ndarray    # (ncon,) int32 (static per slot)
+    overflow: jnp.ndarray  # () int32: active contacts dropped by top-K
+    #                        selection this step (0 = lossless). Silent
+    #                        slot saturation changes dynamics; this
+    #                        makes it observable (see envs exposing it
+    #                        via info/metrics).
 
 
 class PairGroup(NamedTuple):
@@ -549,6 +554,8 @@ def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
     nslots = dist.shape[0]
     k = min(max_contacts, nslots)
     _, idx = jax.lax.top_k(-(dist - margin), k)
+    n_active_all = jnp.sum((dist - margin) < 0.0)
+    overflow = jnp.maximum(n_active_all - k, 0).astype(jnp.int32)
     # one-hot selection: float fields via einsum (gather-free), static
     # per-slot metadata via a single small int gather
     sel = (idx[:, None] == jnp.arange(nslots)).astype(dtype)  # (k, nslots)
@@ -564,6 +571,7 @@ def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
         solref=sel @ jnp.asarray(cat("solref"), dtype),
         solimp=sel @ jnp.asarray(cat("solimp"), dtype),
         condim=jnp.asarray(cat("condim"), jnp.int32)[idx],
+        overflow=overflow,
     )
 
 

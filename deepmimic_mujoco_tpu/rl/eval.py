@@ -39,6 +39,29 @@ def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
     the host slices the trajectory to the episode length.
     """
     env = env or ppo.env
+    episode = _episode_fn(ppo, env, idx_init, max_steps)
+    traj = jax.tree.map(np.asarray, episode(params, jax.random.PRNGKey(seed)))
+    ep_len = int(traj.pop("alive").sum())
+    out = {k: v[:ep_len] for k, v in traj.items()}
+    out["ep_rew"] = float(traj["reward"].sum())
+    out["ep_len"] = ep_len
+    return out
+
+
+def _episode_fn(ppo, env, idx_init, max_steps: int):
+    """jit the episode ONCE per (env, net, idx_init, max_steps) with
+    params as an argument — re-jitting per eval paid a full 1000-step
+    trace+compile (with params baked in as constants) every call."""
+    cache = getattr(env, "_eval_episode_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            env._eval_episode_cache = cache
+        except AttributeError:
+            pass
+    key = (id(ppo.net), idx_init, max_steps)
+    if key in cache:
+        return cache[key]
 
     if idx_init is None or not hasattr(env, "mocap_data_len"):
         reset = env.reset
@@ -46,7 +69,7 @@ def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
         reset = lambda k: env.reset(k, idx_init=idx_init)  # noqa: E731
 
     @jax.jit
-    def episode(key):
+    def episode(params, key):
         state0, obs0 = reset(key)
 
         def scan_step(carry, _):
@@ -70,12 +93,8 @@ def eval_rollout(ppo, params, env=None, max_steps: int = 1000, seed: int = 0,
             length=max_steps)
         return traj
 
-    traj = jax.tree.map(np.asarray, episode(jax.random.PRNGKey(seed)))
-    ep_len = int(traj.pop("alive").sum())
-    out = {k: v[:ep_len] for k, v in traj.items()}
-    out["ep_rew"] = float(traj["reward"].sum())
-    out["ep_len"] = ep_len
-    return out
+    cache[key] = episode
+    return episode
 
 
 def eval_dashboard_rollout(ppo, params, n: int, run_name: str,

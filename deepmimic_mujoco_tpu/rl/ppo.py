@@ -128,6 +128,9 @@ class IterStats(NamedTuple):
     log_std_mean: jnp.ndarray    # collapse diagnostics
     v_loss_max: jnp.ndarray
     lr_scale: jnp.ndarray        # adaptive-lr controller state
+    # max active contacts dropped by slot saturation during the rollout
+    # (0 = the fixed contact buffer was lossless all iteration)
+    contact_overflow_max: jnp.ndarray = None
 
 
 class PPO:
@@ -193,8 +196,11 @@ class PPO:
             ep_ret = ep_ret + out.reward
             ep_len = ep_len + 1
             done_f = out.done.astype(jnp.float32)
+            ov = getattr(out, "contact_overflow", None)
+            ov_max = (ov.max().astype(jnp.int32) if ov is not None
+                      else jnp.zeros((), jnp.int32))
             stats = (out.reward.mean(), (ep_ret * done_f).sum(),
-                     done_f.sum(), (ep_len * out.done).sum())
+                     done_f.sum(), (ep_len * out.done).sum(), ov_max)
             ep_ret = jnp.where(out.done, 0.0, ep_ret)
             ep_len = jnp.where(out.done, 0, ep_len)
             if cfg.vel_shaping:
@@ -227,7 +233,9 @@ class PPO:
             nonterminal = 1.0 - tr.done.astype(jnp.float32)
             r = tr.reward
             if shaped:
-                r = r + frac * (cfg.alive_bonus * nonterminal + tr.shaping)
+                # both shaping terms gated by nonterminal: no training
+                # signal on the step whose bootstrap is cut
+                r = r + frac * (cfg.alive_bonus + tr.shaping) * nonterminal
             delta = r + cfg.gamma * value_next * nonterminal - tr.value
             adv = delta + cfg.gamma * cfg.gae_lambda * nonterminal * adv_next
             return (adv, tr.value), adv
@@ -281,16 +289,23 @@ class PPO:
                       flat.value[idx], adv_flat[idx], ret_flat[idx])
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb)
-                # When the KL guard has tripped, skip the remaining
-                # epochs' updates entirely (grads zeroed; SB3 breaks
-                # out of the epoch loop — first epoch always applies).
-                live = 1.0 - stopped
-                grads = jax.tree.map(lambda g: g * live, grads)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
+                # When the KL guard has tripped, the remaining epochs
+                # are TRUE no-ops: params and optimizer state are both
+                # held (SB3 breaks out of the epoch loop; first epoch
+                # always applies). Zeroing grads alone is not enough —
+                # Adam's momentum keeps drifting params otherwise.
+                updates, new_opt_state = self.tx.update(
+                    grads, opt_state, params)
                 if cfg.adaptive_lr_kl:
                     updates = jax.tree.map(lambda u: u * ts.lr_scale,
                                            updates)
-                params = optax.apply_updates(params, updates)
+                new_params = optax.apply_updates(params, updates)
+                keep = stopped > 0
+                params = jax.tree.map(
+                    lambda o, n: jnp.where(keep, o, n), params, new_params)
+                opt_state = jax.tree.map(
+                    lambda o, n: jnp.where(keep, o, n), opt_state,
+                    new_opt_state)
                 return (params, opt_state), aux
 
             idxs = perm[:n_minibatches * cfg.minibatch_size].reshape(
@@ -320,7 +335,7 @@ class PPO:
                           lr_scale * 1.05, lr_scale))
             lr_scale = jnp.clip(lr_scale, cfg.lr_min_scale, 1.0)
 
-        mean_r, ep_ret_sum, ep_cnt, ep_len_sum = stats
+        mean_r, ep_ret_sum, ep_cnt, ep_len_sum, ov_max = stats
         new_ts = TrainState(
             params=params, opt_state=opt_state, env_states=env_states,
             last_obs=last_obs, key=key,
@@ -333,7 +348,7 @@ class PPO:
             clip_frac=clipfrac,
             log_std_mean=params["params"]["log_std"].mean(),
             v_loss_max=jax.tree.map(lambda x: x.max(), aux)[1],
-            lr_scale=lr_scale)
+            lr_scale=lr_scale, contact_overflow_max=ov_max.max())
         return new_ts, it_stats
 
     # ---- host loop -------------------------------------------------------
