@@ -144,24 +144,21 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
         imp = jnp.concatenate([imp, imp_l])
         active = jnp.concatenate([active, active_l])
 
-    # ---- A = J M^-1 J^T + R, built in blocks ---------------------------
-    # The limit rows are +-unit vectors, so their blocks are gathers of
-    # Minv rather than matmuls; only the 3K contact rows go through the
-    # MXU. vs. one dense (3K+L, nv) J this is ~2-4x fewer MACs (the
-    # round-1 profile's top hotspot at large env batches).
-    MinvJcT = Minv @ J.T                                     # (nv, 3K)
-    Acc = J @ MinvJcT                                        # (3K, 3K)
-    bc = J @ qacc_smooth - aref[:3 * K]
+    # ---- A = J M^-1 J^T + R over one unified J -------------------------
+    # The limit rows ARE materialized as +-unit rows (a static one-hot
+    # matrix times sign). A blockwise build (contact matmuls + Minv
+    # gathers for the limit blocks + jnp.block) does fewer MACs, but on
+    # TPU the MACs ride the MXU in bf16 while jnp.block's concats cost
+    # ~2.5 ms/step of pure layout copies at batch 4096 (round-3 trace);
+    # two clean batched matmuls are faster.
     if L:
-        Alc = MinvJcT[ld_idx] * sign[:, None]                # (L, 3K)
-        All = (Minv[ld_idx][:, ld_idx]
-               * sign[:, None] * sign[None, :])              # (L, L)
-        A = jnp.block([[Acc, Alc.T], [Alc, All]])
-        bl = sign * qacc_smooth[ld_idx] - aref[3 * K:]
-        b_vec = jnp.concatenate([bc, bl])
-    else:
-        A = Acc
-        b_vec = bc
+        E_lim = np.zeros((L, nv), np.float32)
+        E_lim[np.arange(L), ld_idx] = 1.0
+        J_lim = sign[:, None] * jnp.asarray(E_lim, dtype)
+        J = jnp.concatenate([J, J_lim], axis=0)              # (n, nv)
+    MinvJT = Minv @ J.T                                      # (nv, n)
+    A = J @ MinvJT                                           # (n, n)
+    b_vec = J @ qacc_smooth - aref
     diagA = jnp.clip(jnp.diagonal(A), 1e-8, None)
     R = (1.0 - imp) / imp * diagA
     Ahat = A + jnp.diag(R)
@@ -173,11 +170,9 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
                        K=K, L=L, iterations=iterations,
                        relaxation=relaxation, lam0=lam0)
 
-    # qfrc = J^T lam (contact rows dense, limit rows scattered)
-    qfrc = J.T @ lam[:3 * K]
-    if L:
-        qfrc = qfrc.at[ld_idx].add(sign * lam[3 * K:])
-    qacc = qacc_smooth + Minv @ qfrc
+    # qfrc = J^T lam over the unified J (limit rows included)
+    qfrc = J.T @ lam
+    qacc = qacc_smooth + MinvJT @ lam
     return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
 
