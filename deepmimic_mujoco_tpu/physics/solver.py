@@ -90,18 +90,21 @@ def build_contact_jacobian(m: PhysicsModel, com: Com, contacts: Contacts,
     return jnp.einsum("krd,knd->krn", contacts.frame, Jp)
 
 
-def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
-                      qacc_smooth: jnp.ndarray, qpos: jnp.ndarray,
+def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
+                      qfrc_smooth: jnp.ndarray, qpos: jnp.ndarray,
                       qvel: jnp.ndarray, contacts: Contacts,
                       body_dof: np.ndarray, limit_table,
                       iterations: int = 50,
                       relaxation: float = 0.15,
                       lam0=None) -> SolveResult:
-    """``Minv`` is the (explicit) inverse mass matrix — see
-    physics/linalg.py for why an explicit inverse beats triangular
-    solves for batched tiny systems on TPU."""
+    """``M_hat`` is the (possibly implicit-damping-augmented) mass
+    matrix; the inverse-mass solve happens INSIDE this function so the
+    TPU path can fuse it with the constraint solve in one Pallas
+    kernel (ops/fused_solve.py). The XLA fallback forms an explicit
+    inverse — see physics/linalg.py for why that beats triangular
+    solves for batched tiny systems under plain XLA."""
     dt = m.opt.timestep
-    dtype = qacc_smooth.dtype
+    dtype = qfrc_smooth.dtype
     nv = m.nv
     K = contacts.dist.shape[0]
 
@@ -144,18 +147,38 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
         imp = jnp.concatenate([imp, imp_l])
         active = jnp.concatenate([active, active_l])
 
-    # ---- A = J M^-1 J^T + R over one unified J -------------------------
-    # The limit rows ARE materialized as +-unit rows (a static one-hot
-    # matrix times sign). A blockwise build (contact matmuls + Minv
-    # gathers for the limit blocks + jnp.block) does fewer MACs, but on
-    # TPU the MACs ride the MXU in bf16 while jnp.block's concats cost
-    # ~2.5 ms/step of pure layout copies at batch 4096 (round-3 trace);
-    # two clean batched matmuls are faster.
+    # ---- unified J: contact rows + materialized +-unit limit rows ----
     if L:
         E_lim = np.zeros((L, nv), np.float32)
         E_lim[np.arange(L), ld_idx] = 1.0
         J_lim = sign[:, None] * jnp.asarray(E_lim, dtype)
         J = jnp.concatenate([J, J_lim], axis=0)              # (n, nv)
+    activef = active.astype(dtype)
+    mu = contacts.friction[:, 0]
+
+    if iterations and _use_fused():
+        # one Pallas kernel: M^-1, A-build, and all sweeps in VMEM
+        from deepmimic_mujoco_tpu.ops.fused_solve import fused_solve_single
+
+        lam0_k = lam0.astype(dtype) if lam0 is not None else None
+        qacc, qfrc, lam = fused_solve_single(
+            M_hat, J, qfrc_smooth, aref, imp, activef, mu, lam0_k,
+            K=K, L=L, iterations=iterations)
+        return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
+
+    # ---- XLA fallback: explicit inverse + batched matmuls ------------
+    # The limit rows ride the same two clean matmuls as the contact
+    # rows: a blockwise build (contact matmuls + Minv gathers +
+    # jnp.block) does fewer MACs, but jnp.block's concats cost ~2.5 ms
+    # of pure layout copies at batch 4096 (round-3 trace).
+    from deepmimic_mujoco_tpu.physics import linalg
+
+    Minv = linalg.spd_inverse(M_hat)
+    qacc_smooth = Minv @ qfrc_smooth
+    if not iterations:  # constraints disabled (smooth-parity tests)
+        z = jnp.zeros(J.shape[0], dtype)
+        return SolveResult(qacc=qacc_smooth, qfrc_constraint=0 * qfrc_smooth,
+                           lam=z)
     MinvJT = Minv @ J.T                                      # (nv, n)
     A = J @ MinvJT                                           # (n, n)
     b_vec = J @ qacc_smooth - aref
@@ -163,8 +186,6 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
     R = (1.0 - imp) / imp * diagA
     Ahat = A + jnp.diag(R)
     inv_diag = 1.0 / jnp.clip(diagA + R, 1e-8, None)
-    activef = active.astype(dtype)
-    mu = contacts.friction[:, 0]
 
     lam = _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef,
                        K=K, L=L, iterations=iterations,
@@ -176,10 +197,22 @@ def solve_constraints(m: PhysicsModel, com: Com, Minv: jnp.ndarray,
     return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
 
+def _use_fused() -> bool:
+    """Default TPU path: the fused mass-matrix + constraint-solve
+    Pallas kernel (ops/fused_solve.py). DM_TPU_FUSED_SOLVE=0 falls
+    back to the XLA chain (always used on CPU, where the two paths
+    are parity-tested against each other)."""
+    import os
+
+    import jax
+
+    return (os.environ.get("DM_TPU_FUSED_SOLVE") != "0"
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 def _use_pallas() -> bool:
-    # The Pallas PGS kernel (ops/pgs_kernel.py) currently measures
-    # slower than the XLA loop on v5e (latency-bound per-env programs);
-    # opt in via env var while it is being tuned.
+    # The older standalone Pallas PGS kernel (ops/pgs_kernel.py):
+    # superseded by the fused kernel; opt in via env var.
     import os
 
     import jax

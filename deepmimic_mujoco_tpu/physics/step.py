@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from deepmimic_mujoco_tpu.models.physics_model import FREE, PhysicsModel, RK4
-from deepmimic_mujoco_tpu.physics import dynamics, linalg
+from deepmimic_mujoco_tpu.physics import dynamics
 from deepmimic_mujoco_tpu.physics.collision import (
     Contacts, build_pair_tables, collide,
 )
@@ -137,11 +137,9 @@ class Engine:
 
         M_hat = (M + h_implicit * jnp.diag(damping + c_fric)
                  if h_implicit else M)
-        Minv = linalg.spd_inverse(M_hat)
-        qacc_smooth = Minv @ qfrc_smooth
 
         res = solve_constraints(
-            m, com, Minv, qacc_smooth, qpos, qvel, contacts,
+            m, com, M_hat, qfrc_smooth, qpos, qvel, contacts,
             self.body_dof, self.limit_table, iterations=self.iterations,
             lam0=lam0)
 

@@ -1,0 +1,86 @@
+"""Parity: fused Pallas mass-matrix+constraint solve (interpret mode)
+vs the XLA fallback chain in physics/solver.py.
+
+The fused kernel is the default TPU path; any semantic drift between
+it and the fallback changes contact dynamics under trained policies
+(reference regression pattern: play_g1_run_polar_breeze.py:50), so the
+two must agree to float noise on identical inputs. Runs the kernel in
+interpret mode so the parity is pinned on CPU CI.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.ops.fused_solve import fused_solve_single
+from deepmimic_mujoco_tpu.physics import linalg
+from deepmimic_mujoco_tpu.physics.solver import _pgs_iterate
+
+
+def _mk(seed, nv, K, L):
+    n = 3 * K + L
+    r = np.random.RandomState(seed)
+    G = r.randn(nv, nv)
+    M = G @ G.T + nv * np.eye(nv)
+    J = r.randn(n, nv) * (r.rand(n, 1) < 0.8)
+    qf = r.randn(nv) * 10
+    aref = r.randn(n)
+    imp = np.clip(r.rand(n), 0.05, 0.95)
+    act_c = r.rand(K) < 0.5
+    act_l = r.rand(L) < 0.3
+    active = np.concatenate([act_c, act_c, act_c, act_l])
+    mu = np.full(K, 1.0)
+    return [np.asarray(x, np.float32)
+            for x in (M, J, qf, aref, imp, active, mu)]
+
+
+def _fallback(M, J, qf, aref, imp, active, mu, lam0, K, L, its):
+    Minv = linalg.spd_inverse(M)
+    qacc_s = Minv @ qf
+    MinvJT = Minv @ J.T
+    A = J @ MinvJT
+    b = J @ qacc_s - aref
+    diagA = jnp.clip(jnp.diagonal(A), 1e-8, None)
+    R = (1.0 - imp) / imp * diagA
+    Ahat = A + jnp.diag(R)
+    invd = 1.0 / jnp.clip(diagA + R, 1e-8, None)
+    lam = _pgs_iterate(Ahat, b, invd, mu, active, K=K, L=L,
+                       iterations=its, relaxation=0.15, lam0=lam0)
+    return qacc_s + MinvJT @ lam, J.T @ lam, lam
+
+
+@pytest.mark.parametrize("nv,K,L", [(34, 16, 28),    # humanoid3d dims
+                                    (43, 24, 37)])   # G1 dims
+def test_fused_matches_fallback(nv, K, L):
+    B, its = 5, 50
+    args = [jnp.asarray(np.stack(a))
+            for a in zip(*[_mk(s, nv, K, L) for s in range(B)])]
+    M, J, qf, aref, imp, active, mu = args
+
+    ref = jax.vmap(lambda *a: _fallback(*a, None, K, L, its))(
+        M, J, qf, aref, imp, active, mu)
+    got = jax.vmap(lambda *a: fused_solve_single(
+        *a, K=K, L=L, iterations=its, interpret=True))(
+        M, J, qf, aref, imp, active, mu)
+
+    for name, a, b in zip(("qacc", "qfrc", "lam"), ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 2e-4, name
+
+
+def test_fused_warm_start_parity():
+    nv, K, L, its = 34, 16, 28, 30
+    M, J, qf, aref, imp, active, mu = [
+        jnp.asarray(x) for x in _mk(3, nv, K, L)]
+    lam0 = jnp.asarray(
+        np.random.RandomState(9).randn(3 * K + L).astype(np.float32))
+
+    ref = _fallback(M, J, qf, aref, imp, active, mu, lam0, K, L, its)
+    got = fused_solve_single(M, J, qf, aref, imp, active, mu, lam0,
+                             K=K, L=L, iterations=its, interpret=True)
+    for name, a, b in zip(("qacc", "qfrc", "lam"), ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 2e-4, name
