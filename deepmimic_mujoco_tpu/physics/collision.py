@@ -163,7 +163,10 @@ def build_pair_tables(m: PhysicsModel,
     for kind in sorted(groups):
         g = groups[kind]
         ns = _SLOTS[kind]
-        rep = lambda a: np.repeat(np.asarray(a), ns, axis=0)
+        # SAMPLE-MAJOR slot tiling: slot s of all pairs, then slot s+1
+        # (matches the flattened layout of the SoA narrow phase)
+        rep = lambda a: np.tile(
+            np.asarray(a), (ns,) + (1,) * (np.asarray(a).ndim - 1))
         g1a, g2a = np.asarray(g["g1"]), np.asarray(g["g2"])
         is_proxy = np.array(
             [kind != K_PLANE_MESH
@@ -203,10 +206,10 @@ def calibrate_proxy_gaps(m: PhysicsModel, tables: List[PairGroup],
         if not grp.is_proxy.any():
             out.append(grp)
             continue
-        d, _, _ = _narrow(m, kin, grp)
+        d, _, _ = _narrow_groups(m, [grp], kin)[0]
         d = np.asarray(d, np.float64)
         ns = _SLOTS[grp.kind]
-        proxy_slot = np.repeat(grp.is_proxy, ns)
+        proxy_slot = np.tile(grp.is_proxy, ns)
         gap = np.where(proxy_slot, np.minimum(d - grp.margin, 0.0), 0.0)
         out.append(grp._replace(gap=gap))
     return out
@@ -216,47 +219,191 @@ def total_slots(tables: List[PairGroup]) -> int:
     return sum(len(t.g1) * _SLOTS[t.kind] for t in tables)
 
 
-# ---------------- geometry helpers (jnp, batched over pairs) ----------
+# ---------------- SoA geometry core -----------------------------------
+#
+# TPU layout rationale: AoS narrow-phase math carries arrays with tiny
+# minor dims ((npair, 8, 3) sample points, (npair, 3, 3) rotations).
+# Under vmap those tile to (8,128)/(4,128) blocks that are >90% padding
+# and force layout copies between every dot_general — measured ~2.3 ms
+# of the 9.3 ms step at batch 4096 (round-3 trace). The rewrite keeps
+# every vector as three SEPARATE (npair,) component arrays (struct of
+# arrays) so all math is flat elementwise work that XLA fuses into a
+# few dense (batch, npairs) kernels. Per-pair constant data (sizes,
+# radii, local capsule frames, box corners) stays host-side numpy and
+# enters the formulas as compile-time coefficient vectors. Dynamic
+# per-pair world data is produced by ONE-HOT MATMULS from per-geom
+# arrays (static indices; int/dynamic gathers lower ~100x slower than
+# an MXU one-hot on TPU). Sample dimensions (capsule-box S=8 samples,
+# box corners, mesh verts) are flattened SAMPLE-MAJOR into the pair
+# axis so per-sample views are contiguous static slices and reductions
+# over samples are elementwise min-trees, never reshape+reduce.
 
-def _mesh_capsule_world(m, gids, kin: Kin, subs=None):
-    """World (p0, p1, radius) capsule segment; mesh geoms use their PCA
-    proxy (or sub-capsule ``subs[i]`` when >=0), primitives their own
-    size."""
-    pos = kin.geom_xpos[gids]
-    mat = kin.geom_xmat[gids]
-    rad, half, off, qax = [], [], [], []
-    if subs is None:
-        subs = np.full(len(np.asarray(gids)), -1)
-    for g, s in zip(np.asarray(gids), np.asarray(subs)):
-        mid = int(m.geom_meshid[g])
-        if mid >= 0:
-            mesh = m.meshes[mid]
-            from deepmimic_mujoco_tpu.utils import hostquat as hq
-            if s >= 0:
-                cp, cq, cr, ch = mesh.sub_capsules[int(s)]
-                rad.append(cr)
-                half.append(ch)
-                off.append(cp)
-                qax.append(hq.to_mat(cq)[:, 2])
-            else:
-                rad.append(mesh.capsule_size[0])
-                half.append(mesh.capsule_size[1])
-                off.append(mesh.capsule_pos)
-                qax.append(hq.to_mat(mesh.capsule_quat)[:, 2])
-        else:
-            rad.append(m.geom_size[g][0])
-            half.append(m.geom_size[g][1])
-            off.append(np.zeros(3))
-            qax.append(np.array([0.0, 0.0, 1.0]))
-    rad = jnp.asarray(np.array(rad), pos.dtype)
-    half = jnp.asarray(np.array(half), pos.dtype)
-    off = jnp.asarray(np.array(off), pos.dtype)
-    qax = jnp.asarray(np.array(qax), pos.dtype)
-    center = pos + jnp.einsum("nij,nj->ni", mat, off)
-    axis = jnp.einsum("nij,nj->ni", mat, qax)
-    p0 = center - axis * half[:, None]
-    p1 = center + axis * half[:, None]
-    return p0, p1, rad
+
+class V3(NamedTuple):
+    """Vector-of-arrays 3-vector: x/y/z as separate (...,) arrays."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    def __add__(s, o):
+        return V3(s.x + o.x, s.y + o.y, s.z + o.z)
+
+    def __sub__(s, o):
+        return V3(s.x - o.x, s.y - o.y, s.z - o.z)
+
+    def scale(s, a):
+        return V3(s.x * a, s.y * a, s.z * a)
+
+    def dot(s, o):
+        return s.x * o.x + s.y * o.y + s.z * o.z
+
+    def cross(s, o):
+        return V3(s.y * o.z - s.z * o.y,
+                  s.z * o.x - s.x * o.z,
+                  s.x * o.y - s.y * o.x)
+
+    def norm(s, eps=0.0):
+        return jnp.sqrt(s.dot(s) + eps)
+
+    def where(s, c, o):
+        return V3(jnp.where(c, s.x, o.x), jnp.where(c, s.y, o.y),
+                  jnp.where(c, s.z, o.z))
+
+    def stack(s):
+        return jnp.stack([s.x, s.y, s.z], axis=-1)
+
+
+def _vsplit(a) -> V3:
+    return V3(a[..., 0], a[..., 1], a[..., 2])
+
+
+def _onehot_take(arr, idx, n_src, dtype):
+    """(…, n_src) -> (…, len(idx)) via a constant one-hot matmul."""
+    M = np.zeros((n_src, len(idx)), np.float32)
+    M[np.asarray(idx), np.arange(len(idx))] = 1.0
+    return arr @ jnp.asarray(M, dtype)
+
+
+def _take_v(v: V3, idx, n_src) -> V3:
+    return V3(_onehot_take(v.x, idx, n_src, v.x.dtype),
+              _onehot_take(v.y, idx, n_src, v.y.dtype),
+              _onehot_take(v.z, idx, n_src, v.z.dtype))
+
+
+def _tile_s(a, S):
+    """(…, n) -> (…, S*n) sample-major tiling (S contiguous blocks)."""
+    return jnp.concatenate([a] * S, axis=-1) if S > 1 else a
+
+
+def _tile_v(v: V3, S) -> V3:
+    return V3(_tile_s(v.x, S), _tile_s(v.y, S), _tile_s(v.z, S))
+
+
+def _const(a, like):
+    return jnp.asarray(np.asarray(a), like.dtype)
+
+
+def _argmin_masks(vals, rounds):
+    """k-smallest selection over a SAMPLE-MAJOR list of per-slice value
+    arrays. Returns ``rounds`` lists of float 0/1 masks (one mask per
+    slice; exactly one mask element set per position per round, ties
+    broken toward the lowest slice index, matching a stable argsort)."""
+    cur = list(vals)
+    out = []
+    for _ in range(rounds):
+        m = cur[0]
+        for v in cur[1:]:
+            m = jnp.minimum(m, v)
+        taken = None
+        masks = []
+        for v in cur:
+            is_min = v == m
+            sel = is_min if taken is None else (is_min & ~taken)
+            taken = is_min if taken is None else (taken | is_min)
+            masks.append(sel)
+        out.append([s.astype(m.dtype) for s in masks])
+        cur = [jnp.where(s, jnp.inf, v) for s, v in zip(masks, cur)]
+    return out
+
+
+def _mask_pick(masks, slices):
+    """sum_s mask_s * slice_s (elementwise one-hot selection)."""
+    acc = masks[0] * slices[0]
+    for ms, sl in zip(masks[1:], slices[1:]):
+        acc = acc + ms * sl
+    return acc
+
+
+def _mask_pick_v(masks, vslices):
+    return V3(_mask_pick(masks, [v.x for v in vslices]),
+              _mask_pick(masks, [v.y for v in vslices]),
+              _mask_pick(masks, [v.z for v in vslices]))
+
+
+def _capsule_entity_params(m, g, s):
+    """Host-side (offset, local axis, radius, half-length) of the
+    capsule entity for geom ``g`` (sub-capsule ``s`` >= 0, whole-mesh
+    PCA proxy, or the primitive itself)."""
+    mid = int(m.geom_meshid[g])
+    if mid >= 0:
+        from deepmimic_mujoco_tpu.utils import hostquat as hq
+
+        mesh = m.meshes[mid]
+        if s >= 0:
+            cp, cq, cr, ch = mesh.sub_capsules[int(s)]
+            return np.asarray(cp), hq.to_mat(cq)[:, 2], cr, ch
+        return (np.asarray(mesh.capsule_pos),
+                hq.to_mat(mesh.capsule_quat)[:, 2],
+                mesh.capsule_size[0], mesh.capsule_size[1])
+    return (np.zeros(3), np.array([0.0, 0.0, 1.0]),
+            float(m.geom_size[g][0]), float(m.geom_size[g][1]))
+
+
+class _Soa(NamedTuple):
+    """Per-step SoA world-frame tables shared by all groups."""
+    P: V3              # geom positions, components (ngeom,)
+    cols: tuple        # 3 x V3: rotation columns R[:, :, j]
+
+    def rot(self, local: V3) -> V3:
+        """R @ local for per-geom/entity column sets."""
+        c0, c1, c2 = self.cols
+        return (c0.scale(local.x) + c1.scale(local.y)
+                + c2.scale(local.z))
+
+
+def _soa_from_kin(kin: Kin) -> _Soa:
+    P = _vsplit(kin.geom_xpos)
+    R = kin.geom_xmat
+    cols = tuple(V3(R[..., 0, j], R[..., 1, j], R[..., 2, j])
+                 for j in range(3))
+    return _Soa(P=P, cols=cols)
+
+
+class _FrameSide(NamedTuple):
+    """Pair-side world frames taken to pair level (box/plane sides)."""
+    p: V3
+    cols: tuple        # 3 x V3
+
+    def rot(self, local: V3) -> V3:
+        c0, c1, c2 = self.cols
+        return c0.scale(local.x) + c1.scale(local.y) + c2.scale(local.z)
+
+    def rot_t(self, world: V3) -> V3:
+        c0, c1, c2 = self.cols
+        return V3(c0.dot(world), c1.dot(world), c2.dot(world))
+
+
+def _frame_side(soa: _Soa, gids, ngeom) -> _FrameSide:
+    return _FrameSide(
+        p=_take_v(soa.P, gids, ngeom),
+        cols=tuple(_take_v(c, gids, ngeom) for c in soa.cols))
+
+
+class _CapSide(NamedTuple):
+    """Pair-side capsule segments: world endpoints + static radius."""
+    p0: V3
+    p1: V3
+    rad: np.ndarray    # static (npair,)
 
 
 def _make_frame(n):
@@ -270,272 +417,320 @@ def _make_frame(n):
     return jnp.stack([n, t1, t2], axis=-2)
 
 
-def _plane_frame(kin, g1):
-    n = kin.geom_xmat[g1][..., :, 2]
-    p = kin.geom_xpos[g1]
-    return n, p
-
-
-def _seg_seg_closest(p1, q1, p2, q2):
+def _seg_seg_soa(p1: V3, q1: V3, p2: V3, q2: V3):
+    """Closest points between two segments (SoA transcription of the
+    standard clamped-parameter form)."""
     d1 = q1 - p1
     d2 = q2 - p2
     r = p1 - p2
-    a = jnp.sum(d1 * d1, -1)
-    e = jnp.sum(d2 * d2, -1)
-    f = jnp.sum(d2 * r, -1)
-    c = jnp.sum(d1 * r, -1)
-    b = jnp.sum(d1 * d2, -1)
+    a = d1.dot(d1)
+    e = d2.dot(d2)
+    f = d2.dot(r)
+    c = d1.dot(r)
+    b = d1.dot(d2)
     denom = a * e - b * b
-    s = jnp.where(denom > 1e-12, (b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0)
+    s = jnp.where(denom > 1e-12,
+                  (b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0)
     s = jnp.clip(s, 0.0, 1.0)
     t = jnp.where(e > 1e-12, (b * s + f) / jnp.maximum(e, 1e-12), 0.0)
     t = jnp.clip(t, 0.0, 1.0)
     s = jnp.where(a > 1e-12,
-                  jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), 0.0)
-    return p1 + d1 * s[..., None], p2 + d2 * t[..., None]
+                  jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0),
+                  0.0)
+    return p1 + d1.scale(s), p2 + d2.scale(t)
 
 
-def _one_hot(idx, n, dtype):
-    return (idx[..., None] == jnp.arange(n)).astype(dtype)
-
-
-def _point_box_closest(p_local, size):
-    """Closest surface point + signed distance, box frame (batched).
-
-    Selection is one-hot/where arithmetic — dynamic gathers
-    (take_along_axis) lower to slow scatter/gather fusions on TPU.
-    """
-    clamped = jnp.clip(p_local, -size, size)
-    outside = jnp.linalg.norm(p_local - clamped, axis=-1)
-    face_d = size - jnp.abs(p_local)
-    dmin = jnp.min(face_d, axis=-1)
-    inside = -dmin
-    is_out = outside > 1e-12
-    onehot = (face_d == dmin[..., None]).astype(p_local.dtype)
-    onehot = onehot / jnp.maximum(onehot.sum(-1, keepdims=True), 1.0)
-    sign = jnp.where(p_local >= 0, 1.0, -1.0)
-    proj = p_local * (1 - onehot) + sign * size * onehot
-    closest = jnp.where(is_out[..., None], clamped, proj)
-    dist = jnp.where(is_out, outside, inside)
+def _point_box_soa(pl: V3, sx, sy, sz):
+    """Closest surface point + signed distance in the box frame; sizes
+    are static per-pair arrays. All selection is where/one-hot
+    arithmetic (tie faces averaged, matching the AoS original)."""
+    cl = V3(jnp.clip(pl.x, -sx, sx), jnp.clip(pl.y, -sy, sy),
+            jnp.clip(pl.z, -sz, sz))
+    out_d = (pl - cl).norm()
+    fx = sx - jnp.abs(pl.x)
+    fy = sy - jnp.abs(pl.y)
+    fz = sz - jnp.abs(pl.z)
+    dmin = jnp.minimum(fx, jnp.minimum(fy, fz))
+    is_out = out_d > 1e-12
+    ox = (fx == dmin).astype(pl.x.dtype)
+    oy = (fy == dmin).astype(pl.x.dtype)
+    oz = (fz == dmin).astype(pl.x.dtype)
+    cnt = jnp.maximum(ox + oy + oz, 1.0)
+    ox, oy, oz = ox / cnt, oy / cnt, oz / cnt
+    proj = V3(pl.x * (1 - ox) + jnp.where(pl.x >= 0, sx, -sx) * ox,
+              pl.y * (1 - oy) + jnp.where(pl.y >= 0, sy, -sy) * oy,
+              pl.z * (1 - oz) + jnp.where(pl.z >= 0, sz, -sz) * oz)
+    closest = cl.where(is_out, proj)
+    dist = jnp.where(is_out, out_d, -dmin)
     return closest, dist
 
 
-def _smallest_k_onehot(vals, k):
-    """(n, m) -> (n, k, m) one-hot rows selecting the k smallest values
-    per row, via k argmin+mask passes — under vmap a full argsort
-    lowers to a TPU sort kernel costing ~0.7 ms/step at batch 4096 for
-    what is a pick-4-of-8; iterative argmin is pure elementwise."""
-    m_dim = vals.shape[-1]
-    iota = jnp.arange(m_dim)
-    masked = vals
-    sels = []
-    for _ in range(k):
-        vmin = jnp.min(masked, axis=-1, keepdims=True)
-        is_min = masked == vmin
-        # break ties toward the lowest index (argsort is stable)
-        first = jnp.min(jnp.where(is_min, iota, m_dim), axis=-1,
-                        keepdims=True)
-        sel = (iota == first).astype(vals.dtype)
-        sels.append(sel)
-        masked = jnp.where(sel > 0, jnp.inf, masked)
-    return jnp.stack(sels, axis=-2)
+def _normalized(dvec: V3, eps=1e-9) -> V3:
+    return dvec.scale(1.0 / jnp.maximum(dvec.norm(), eps))
 
 
-def _smallest_k(vals, pts, k):
-    """(n, m) values + (n, m, 3) points -> k smallest per row,
-    gather-free (see _smallest_k_onehot)."""
-    sel = _smallest_k_onehot(vals, k)
-    d = jnp.einsum("nkm,nm->nk", sel, vals)
-    p = jnp.einsum("nkm,nmd->nkd", sel, pts)
-    return d, p
+# ---------------- narrow phase (SoA, all groups) -----------------------
 
-
-def _argmin_pick(vals, *arrays):
-    """Select arrays at the per-row argmin of vals via one-hot sums."""
-    dmin = jnp.min(vals, axis=-1)
-    onehot = (vals == dmin[..., None]).astype(vals.dtype)
-    onehot = onehot / jnp.maximum(onehot.sum(-1, keepdims=True), 1.0)
-    outs = []
-    for a in arrays:
-        if a.ndim == vals.ndim:
-            outs.append((a * onehot).sum(-1))
-        else:
-            outs.append((a * onehot[..., None]).sum(-2))
-    return (dmin, *outs)
-
-
-# ---------------- narrow phase per group (unique pairs) ----------------
-
-def _narrow(m, kin, grp: PairGroup):
-    """Returns (dist, pos, normal) each (npair*nslot, ...)."""
+def _narrow_groups(m, tables: List[PairGroup], kin: Kin):
+    """Returns a list of per-group (dist, pos V3, nrm V3), each
+    flattened (nslot_grp * npair,) SAMPLE-MAJOR (slot-major blocks of
+    npair, matching the metadata tiling in build_pair_tables)."""
     dtype = kin.xpos.dtype
-    g1 = grp.g1
-    g2 = grp.g2
-    kind = grp.kind
+    ngeom = kin.geom_xpos.shape[-2]
+    soa = _soa_from_kin(kin)
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float32), dtype)
 
-    if kind == K_PLANE_SPHERE:
-        pn, pp = _plane_frame(kin, g1)
-        c = kin.geom_xpos[g2]
-        r = jnp.asarray(m.geom_size[g2, 0], dtype)
-        h = jnp.sum((c - pp) * pn, -1)
-        d = h - r
-        cp = c - pn * (r + d / 2)[:, None]
-        return d, cp, pn
+    # ---- capsule entity table shared across groups -------------------
+    ent_index: Dict[tuple, int] = {}
+    ent_keys = []
 
-    if kind == K_PLANE_CAPSULE:
-        pn, pp = _plane_frame(kin, g1)
-        mat = kin.geom_xmat[g2]
-        c = kin.geom_xpos[g2]
-        axis = mat[..., :, 2]
-        r = jnp.asarray(m.geom_size[g2, 0], dtype)
-        hl = jnp.asarray(m.geom_size[g2, 1], dtype)
-        ends = jnp.stack([c + axis * hl[:, None], c - axis * hl[:, None]], 1)
-        h = jnp.sum((ends - pp[:, None]) * pn[:, None], -1)  # (n, 2)
-        d = h - r[:, None]
-        cp = ends - pn[:, None] * (r[:, None] + d / 2)[..., None]
-        nrm = jnp.repeat(pn[:, None], 2, 1)
-        return d.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
+    def ent_ids(gids, subs):
+        ids = []
+        for g, s in zip(np.asarray(gids), np.asarray(subs)):
+            k = (int(g), int(s))
+            if k not in ent_index:
+                ent_index[k] = len(ent_keys)
+                ent_keys.append(k)
+            ids.append(ent_index[k])
+        return np.asarray(ids)
 
-    if kind == K_PLANE_BOX:
-        pn, pp = _plane_frame(kin, g1)
-        mat = kin.geom_xmat[g2]
-        c = kin.geom_xpos[g2]
-        size = jnp.asarray(m.geom_size[g2], dtype)
-        corners = jnp.asarray(
-            np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
-                      for sz in (-1, 1)]), dtype)
-        pts = c[:, None] + jnp.einsum("nij,kj,nj->nki", mat, corners, size)
-        h = jnp.sum((pts - pp[:, None]) * pn[:, None], -1)  # (n, 8)
-        d4, p4 = _smallest_k(h, pts, 4)
-        cp = p4 - pn[:, None] * (d4 / 2)[..., None]
-        nrm = jnp.repeat(pn[:, None], 4, 1)
-        return d4.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
+    cap_roles = {}
+    for gi, grp in enumerate(tables):
+        none = np.full(len(grp.g1), -1)
+        if grp.kind == K_PLANE_CAPSULE:
+            cap_roles[(gi, 2)] = ent_ids(grp.g2, none)
+        elif grp.kind == K_SPHERE_CAPSULE:
+            cap_roles[(gi, 2)] = ent_ids(grp.g2, grp.sub2)
+        elif grp.kind == K_CAPSULE_CAPSULE:
+            cap_roles[(gi, 1)] = ent_ids(grp.g1, grp.sub1)
+            cap_roles[(gi, 2)] = ent_ids(grp.g2, grp.sub2)
+        elif grp.kind == K_CAPSULE_BOX:
+            cap_roles[(gi, 1)] = ent_ids(grp.g1, grp.sub1)
 
-    if kind == K_PLANE_MESH:
-        pn, pp = _plane_frame(kin, g1)
-        mat = kin.geom_xmat[g2]
-        c = kin.geom_xpos[g2]
-        Kv = max(len(m.meshes[int(m.geom_meshid[g])].verts)
-                 for g in np.asarray(g2))
-        verts = np.zeros((len(np.asarray(g2)), Kv, 3))
-        for i, g in enumerate(np.asarray(g2)):
-            v = m.meshes[int(m.geom_meshid[g])].verts
-            verts[i, :len(v)] = v
-            verts[i, len(v):] = v[0]
-        verts = jnp.asarray(verts, dtype)
-        pts = c[:, None] + jnp.einsum("nij,nkj->nki", mat, verts)
-        h = jnp.sum((pts - pp[:, None]) * pn[:, None], -1)
-        d4, p4 = _smallest_k(h, pts, 4)
-        cp = p4 - pn[:, None] * (d4 / 2)[..., None]
-        nrm = jnp.repeat(pn[:, None], 4, 1)
-        return d4.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
+    if ent_keys:
+        egids = [g for g, _ in ent_keys]
+        pr = [_capsule_entity_params(m, g, s) for g, s in ent_keys]
+        off = np.array([p[0] for p in pr])
+        ax = np.array([p[1] for p in pr])
+        erad = np.array([p[2] for p in pr])
+        half = np.array([p[3] for p in pr])
+        Pe = _take_v(soa.P, egids, ngeom)
+        es = _Soa(P=Pe, cols=tuple(_take_v(c, egids, ngeom)
+                                   for c in soa.cols))
+        center = Pe + es.rot(V3(cst(off[:, 0]), cst(off[:, 1]),
+                                cst(off[:, 2])))
+        axis = es.rot(V3(cst(ax[:, 0]), cst(ax[:, 1]), cst(ax[:, 2])))
+        hl = cst(half)
+        ep0 = center - axis.scale(hl)
+        ep1 = center + axis.scale(hl)
+        nent = len(ent_keys)
 
-    if kind == K_SPHERE_SPHERE:
-        c1, c2 = kin.geom_xpos[g1], kin.geom_xpos[g2]
-        r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
-        r2 = jnp.asarray(m.geom_size[g2, 0], dtype)
-        dvec = c2 - c1
-        L = jnp.linalg.norm(dvec, axis=-1)
-        nrm = dvec / jnp.maximum(L, 1e-9)[:, None]
-        d = L - (r1 + r2)
-        cp = c1 + nrm * (r1 + d / 2)[:, None]
-        return d, cp, nrm
+    def cap_side(gi, side) -> _CapSide:
+        ids = cap_roles[(gi, side)]
+        return _CapSide(p0=_take_v(ep0, ids, nent),
+                        p1=_take_v(ep1, ids, nent), rad=erad[ids])
 
-    if kind == K_SPHERE_CAPSULE:
-        c1 = kin.geom_xpos[g1]
-        r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
-        p0, p1, r2 = _mesh_capsule_world(m, g2, kin, grp.sub2)
-        _, cb = _seg_seg_closest(c1, c1, p0, p1)
-        dvec = cb - c1
-        L = jnp.linalg.norm(dvec, axis=-1)
-        nrm = dvec / jnp.maximum(L, 1e-9)[:, None]
-        d = L - (r1 + r2)
-        cp = c1 + nrm * (r1 + d / 2)[:, None]
-        return d, cp, nrm
+    def plane_side(g1):
+        return (_take_v(soa.cols[2], g1, ngeom),
+                _take_v(soa.P, g1, ngeom))
 
-    if kind == K_CAPSULE_CAPSULE:
-        p0a, p1a, ra = _mesh_capsule_world(m, g1, kin, grp.sub1)
-        p0b, p1b, rb = _mesh_capsule_world(m, g2, kin, grp.sub2)
-        ca, cb = _seg_seg_closest(p0a, p1a, p0b, p1b)
-        dvec = cb - ca
-        L = jnp.linalg.norm(dvec, axis=-1)
-        nrm = dvec / jnp.maximum(L, 1e-9)[:, None]
-        d = L - (ra + rb)
-        cp = ca + nrm * (ra + d / 2)[:, None]
-        return d, cp, nrm
+    def vcat(vs):
+        return V3(jnp.concatenate([v.x for v in vs], -1),
+                  jnp.concatenate([v.y for v in vs], -1),
+                  jnp.concatenate([v.z for v in vs], -1))
 
-    if kind == K_SPHERE_BOX:
-        c1 = kin.geom_xpos[g1]
-        r1 = jnp.asarray(m.geom_size[g1, 0], dtype)
-        mat = kin.geom_xmat[g2]
-        cb = kin.geom_xpos[g2]
-        size = jnp.asarray(m.geom_size[g2], dtype)
-        pl = jnp.einsum("nji,nj->ni", mat, c1 - cb)
-        closest, dsurf = _point_box_closest(pl, size)
-        cw = cb + jnp.einsum("nij,nj->ni", mat, closest)
-        dvec = cw - c1
-        nrm = dvec / jnp.maximum(
-            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
-        nrm = jnp.where((dsurf < 0)[:, None], -nrm, nrm)
-        d = dsurf - r1
-        cp = cw - nrm * (d / 2)[:, None]
-        return d, cp, nrm
+    out = []
+    for gi, grp in enumerate(tables):
+        kind, g1, g2 = grp.kind, grp.g1, grp.g2
 
-    if kind == K_CAPSULE_BOX:
-        p0, p1, rc = _mesh_capsule_world(m, g1, kin, grp.sub1)
-        mat = kin.geom_xmat[g2]
-        cb = kin.geom_xpos[g2]
-        size = jnp.asarray(m.geom_size[g2], dtype)
-        S = 8
-        ts = jnp.linspace(0.0, 1.0, S)
-        pts = p0[:, None] + (p1 - p0)[:, None] * ts[None, :, None]
-        pl = jnp.einsum("nji,nkj->nki", mat, pts - cb[:, None])
-        closest, dsurf = _point_box_closest(pl, size[:, None].repeat(S, 1))
-        dbest, pbest, clbest = _argmin_pick(dsurf, pts, closest)
-        cw = cb + jnp.einsum("nij,nj->ni", mat, clbest)
-        dvec = cw - pbest
-        nrm = dvec / jnp.maximum(
-            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
-        nrm = jnp.where((dbest < 0)[:, None], -nrm, nrm)
-        d = dbest - rc
-        cp = cw - nrm * (d / 2)[:, None]
-        return d, cp, nrm
+        if kind == K_PLANE_SPHERE:
+            n, pp = plane_side(g1)
+            c = _take_v(soa.P, g2, ngeom)
+            r = cst(m.geom_size[np.asarray(g2), 0])
+            d = (c - pp).dot(n) - r
+            cp = c - n.scale(r + d / 2)
+            out.append((d, cp, n))
+            continue
 
-    if kind == K_BOX_BOX:
-        corners = jnp.asarray(
-            np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
-                      for sz in (-1, 1)]), dtype)
+        if kind == K_PLANE_CAPSULE:
+            n, pp = plane_side(g1)
+            cs = cap_side(gi, 2)
+            r = cst(cs.rad)
+            ds, cps = [], []
+            for end in (cs.p1, cs.p0):   # (+axis, -axis) end order
+                dk = (end - pp).dot(n) - r
+                ds.append(dk)
+                cps.append(end - n.scale(r + dk / 2))
+            out.append((jnp.concatenate(ds, -1), vcat(cps),
+                        _tile_v(n, 2)))
+            continue
 
-        def corners_vs_box(ga, gb):
-            mata, ca = kin.geom_xmat[ga], kin.geom_xpos[ga]
-            matb, cbp = kin.geom_xmat[gb], kin.geom_xpos[gb]
-            sa = jnp.asarray(m.geom_size[ga], dtype)
-            sb = jnp.asarray(m.geom_size[gb], dtype)
-            pts = ca[:, None] + jnp.einsum("nij,kj,nj->nki", mata, corners, sa)
-            pl = jnp.einsum("nji,nkj->nki", matb, pts - cbp[:, None])
-            closest, dsurf = _point_box_closest(pl, sb[:, None].repeat(8, 1))
-            cw = cbp[:, None] + jnp.einsum("nij,nkj->nki", matb, closest)
-            return pts, cw, dsurf
+        if kind in (K_PLANE_BOX, K_PLANE_MESH):
+            n, pp = plane_side(g1)
+            fb = _frame_side(soa, g2, ngeom)
+            if kind == K_PLANE_BOX:
+                s = np.asarray(m.geom_size[np.asarray(g2)])
+                locs = [(sx * s[:, 0], sy * s[:, 1], sz * s[:, 2])
+                        for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)]
+            else:
+                Kv = max(len(m.meshes[int(m.geom_meshid[g])].verts)
+                         for g in np.asarray(g2))
+                verts = np.zeros((len(np.asarray(g2)), Kv, 3))
+                for i, g in enumerate(np.asarray(g2)):
+                    v = m.meshes[int(m.geom_meshid[g])].verts
+                    verts[i, :len(v)] = v
+                    verts[i, len(v):] = v[0]
+                locs = [(verts[:, k, 0], verts[:, k, 1], verts[:, k, 2])
+                        for k in range(Kv)]
+            # h = (c - pp)·n + v·(R^T n): pair-level base + static verts
+            base = (fb.p - pp).dot(n)
+            w = fb.rot_t(n)
+            hs, pts = [], []
+            for lx, ly, lz in locs:
+                lv = V3(cst(lx), cst(ly), cst(lz))
+                hs.append(base + lv.dot(w))
+                pts.append(fb.p + fb.rot(lv))
+            masks = _argmin_masks(hs, 4)
+            ds, cps = [], []
+            for mk in masks:
+                dj = _mask_pick(mk, hs)
+                pj = _mask_pick_v(mk, pts)
+                ds.append(dj)
+                cps.append(pj - n.scale(dj / 2))
+            out.append((jnp.concatenate(ds, -1), vcat(cps),
+                        _tile_v(n, 4)))
+            continue
 
-        ptsA, cwA, dA = corners_vs_box(g1, g2)
-        ptsB, cwB, dB = corners_vs_box(g2, g1)
-        allp = jnp.concatenate([ptsA, ptsB], 1)
-        allc = jnp.concatenate([cwA, cwB], 1)
-        alld = jnp.concatenate([dA, dB], 1)
-        flip = jnp.concatenate([jnp.ones_like(dA), -jnp.ones_like(dB)], 1)
-        sel = _smallest_k_onehot(alld, 4)
-        d4 = jnp.einsum("nkm,nm->nk", sel, alld)
-        p4 = jnp.einsum("nkm,nmd->nkd", sel, allp)
-        c4 = jnp.einsum("nkm,nmd->nkd", sel, allc)
-        f4 = jnp.einsum("nkm,nm->nk", sel, flip)
-        dvec = (c4 - p4) * f4[..., None]
-        nrm = dvec / jnp.maximum(
-            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-9)
-        nrm = jnp.where((d4 < 0)[..., None], -nrm, nrm)
-        cp = (p4 + c4) / 2
-        return d4.reshape(-1), cp.reshape(-1, 3), nrm.reshape(-1, 3)
+        if kind == K_SPHERE_SPHERE:
+            c1 = _take_v(soa.P, g1, ngeom)
+            c2 = _take_v(soa.P, g2, ngeom)
+            r1 = cst(m.geom_size[np.asarray(g1), 0])
+            r2 = cst(m.geom_size[np.asarray(g2), 0])
+            dvec = c2 - c1
+            nrm = _normalized(dvec)
+            d = dvec.norm() - (r1 + r2)
+            out.append((d, c1 + nrm.scale(r1 + d / 2), nrm))
+            continue
 
-    raise NotImplementedError(kind)
+        if kind == K_SPHERE_CAPSULE:
+            c1 = _take_v(soa.P, g1, ngeom)
+            r1 = cst(m.geom_size[np.asarray(g1), 0])
+            cs = cap_side(gi, 2)
+            seg = cs.p1 - cs.p0
+            e = seg.dot(seg)
+            t = jnp.clip(jnp.where(
+                e > 1e-12, (c1 - cs.p0).dot(seg) / jnp.maximum(e, 1e-12),
+                0.0), 0.0, 1.0)
+            cb = cs.p0 + seg.scale(t)
+            dvec = cb - c1
+            nrm = _normalized(dvec)
+            d = dvec.norm() - (r1 + cst(cs.rad))
+            out.append((d, c1 + nrm.scale(r1 + d / 2), nrm))
+            continue
+
+        if kind == K_CAPSULE_CAPSULE:
+            ca_s = cap_side(gi, 1)
+            cb_s = cap_side(gi, 2)
+            ca, cb = _seg_seg_soa(ca_s.p0, ca_s.p1, cb_s.p0, cb_s.p1)
+            dvec = cb - ca
+            nrm = _normalized(dvec)
+            ra, rb = cst(ca_s.rad), cst(cb_s.rad)
+            d = dvec.norm() - (ra + rb)
+            out.append((d, ca + nrm.scale(ra + d / 2), nrm))
+            continue
+
+        if kind == K_SPHERE_BOX:
+            c1 = _take_v(soa.P, g1, ngeom)
+            r1 = cst(m.geom_size[np.asarray(g1), 0])
+            fb = _frame_side(soa, g2, ngeom)
+            s = np.asarray(m.geom_size[np.asarray(g2)])
+            pl = fb.rot_t(c1 - fb.p)
+            closest, dsurf = _point_box_soa(
+                pl, cst(s[:, 0]), cst(s[:, 1]), cst(s[:, 2]))
+            cw = fb.p + fb.rot(closest)
+            nrm = _normalized(cw - c1)
+            nrm = nrm.scale(jnp.where(dsurf < 0, -1.0, 1.0))
+            d = dsurf - r1
+            out.append((d, cw - nrm.scale(d / 2), nrm))
+            continue
+
+        if kind == K_CAPSULE_BOX:
+            cs = cap_side(gi, 1)
+            fb = _frame_side(soa, g2, ngeom)
+            s = np.asarray(m.geom_size[np.asarray(g2)])
+            sx, sy, sz = cst(s[:, 0]), cst(s[:, 1]), cst(s[:, 2])
+            p0l = fb.rot_t(cs.p0 - fb.p)
+            dl = fb.rot_t(cs.p1 - cs.p0)
+            S = 8
+            dsurfs, closests, tvals = [], [], []
+            for k in range(S):
+                t = k / (S - 1.0)
+                plk = p0l + dl.scale(t)
+                ck, dk = _point_box_soa(plk, sx, sy, sz)
+                dsurfs.append(dk)
+                closests.append(ck)
+                tvals.append(jnp.full_like(dk, t))
+            mk = _argmin_masks(dsurfs, 1)[0]
+            dbest = _mask_pick(mk, dsurfs)
+            clbest = _mask_pick_v(mk, closests)
+            tbest = _mask_pick(mk, tvals)
+            pbest = cs.p0 + (cs.p1 - cs.p0).scale(tbest)
+            cw = fb.p + fb.rot(clbest)
+            nrm = _normalized(cw - pbest)
+            nrm = nrm.scale(jnp.where(dbest < 0, -1.0, 1.0))
+            d = dbest - cst(cs.rad)
+            out.append((d, cw - nrm.scale(d / 2), nrm))
+            continue
+
+        if kind == K_BOX_BOX:
+            fa = _frame_side(soa, g1, ngeom)
+            fb = _frame_side(soa, g2, ngeom)
+            sa = np.asarray(m.geom_size[np.asarray(g1)])
+            sb = np.asarray(m.geom_size[np.asarray(g2)])
+
+            def corners_vs(fsrc, ssrc, fdst, sdst):
+                pts, cws, dss = [], [], []
+                for cx in (-1, 1):
+                    for cy in (-1, 1):
+                        for cz in (-1, 1):
+                            lv = V3(cst(cx * ssrc[:, 0]),
+                                    cst(cy * ssrc[:, 1]),
+                                    cst(cz * ssrc[:, 2]))
+                            pw = fsrc.p + fsrc.rot(lv)
+                            pl = fdst.rot_t(pw - fdst.p)
+                            ck, dk = _point_box_soa(
+                                pl, cst(sdst[:, 0]), cst(sdst[:, 1]),
+                                cst(sdst[:, 2]))
+                            pts.append(pw)
+                            cws.append(fdst.p + fdst.rot(ck))
+                            dss.append(dk)
+                return pts, cws, dss
+
+            ptsA, cwA, dA = corners_vs(fa, sa, fb, sb)
+            ptsB, cwB, dB = corners_vs(fb, sb, fa, sa)
+            pts = ptsA + ptsB
+            cws = cwA + cwB
+            dss = dA + dB
+            flips = ([jnp.ones_like(dA[0])] * 8
+                     + [-jnp.ones_like(dA[0])] * 8)
+            masks = _argmin_masks(dss, 4)
+            ds, cps, nrs = [], [], []
+            for mk in masks:
+                dj = _mask_pick(mk, dss)
+                pj = _mask_pick_v(mk, pts)
+                cj = _mask_pick_v(mk, cws)
+                fj = _mask_pick(mk, flips)
+                nrm = _normalized((cj - pj).scale(fj))
+                nrm = nrm.scale(jnp.where(dj < 0, -1.0, 1.0))
+                ds.append(dj)
+                cps.append((pj + cj).scale(0.5))
+                nrs.append(nrm)
+            out.append((jnp.concatenate(ds, -1), vcat(cps), vcat(nrs)))
+            continue
+
+        raise NotImplementedError(kind)
+    return out
 
 
 # ---------------- main entry ------------------------------------------
@@ -544,25 +739,28 @@ def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
             max_contacts: int) -> Contacts:
     """Narrow phase over all groups, then top-K deepest selection."""
     dtype = kin.xpos.dtype
-    dists, poss, nrms = [], [], []
+    dists, pxs, nxs = [], [], []
     meta = {k: [] for k in ("g1", "g2", "margin", "friction", "solref",
                             "solimp", "condim")}
-    for grp in tables:
-        d, p, nr = _narrow(m, kin, grp)
+    for grp, (d, p, nr) in zip(tables, _narrow_groups(m, tables, kin)):
         if np.any(grp.gap < 0):
             d = d - jnp.asarray(grp.gap, dtype)  # widen proxy rest gaps
         dists.append(d)
-        poss.append(p)
-        nrms.append(nr)
+        pxs.append(p)
+        nxs.append(nr)
         ns = _SLOTS[grp.kind]
-        meta["g1"].append(np.repeat(grp.g1, ns))
-        meta["g2"].append(np.repeat(grp.g2, ns))
+        meta["g1"].append(np.tile(grp.g1, ns))
+        meta["g2"].append(np.tile(grp.g2, ns))
         for k in ("margin", "friction", "solref", "solimp", "condim"):
             meta[k].append(getattr(grp, k))
 
-    dist = jnp.concatenate(dists)
-    pos = jnp.concatenate(poss)
-    normal = jnp.concatenate(nrms)
+    dist = jnp.concatenate(dists, -1)
+    pos = V3(jnp.concatenate([v.x for v in pxs], -1),
+             jnp.concatenate([v.y for v in pxs], -1),
+             jnp.concatenate([v.z for v in pxs], -1))
+    normal = V3(jnp.concatenate([v.x for v in nxs], -1),
+                jnp.concatenate([v.y for v in nxs], -1),
+                jnp.concatenate([v.z for v in nxs], -1))
     margin_np = np.concatenate(meta["margin"])
     margin = jnp.asarray(margin_np, dtype)
 
@@ -576,12 +774,15 @@ def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
     # trace); a one-hot matmul + round is exact for ids < 2^24
     sel = (idx[:, None] == jnp.arange(nslots)).astype(dtype)  # (k, nslots)
 
-    frame = _make_frame(sel @ normal)
+    frame = _make_frame(jnp.stack(
+        [sel @ normal.x, sel @ normal.y, sel @ normal.z], axis=-1))
     cat = lambda key: np.concatenate(meta[key])
     int_sel = lambda key: (sel @ jnp.asarray(cat(key), dtype)
                            + 0.5).astype(jnp.int32)
     return Contacts(
-        dist=sel @ dist, pos=sel @ pos, frame=frame,
+        dist=sel @ dist,
+        pos=jnp.stack([sel @ pos.x, sel @ pos.y, sel @ pos.z], axis=-1),
+        frame=frame,
         geom1=int_sel("g1"),
         geom2=int_sel("g2"),
         includemargin=sel @ margin,
