@@ -1,20 +1,103 @@
-"""Benchmark: batched env-step throughput on the current device.
+"""Benchmark: batched throughput on the current device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's DPEnv throughput of ~1,390 env-steps/s
-aggregate over 32 subprocess workers (BASELINE.md: src/plot_profiling.py:486).
+Prints one JSON line per metric; the FIRST line is the driver metric
+(humanoid3d walk env-step throughput, random actions). Baseline: the
+reference's DPEnv throughput of ~1,390 env-steps/s aggregate over 32
+subprocess workers (BASELINE.md: src/plot_profiling.py:486); the
+combined-env line is compared against its ~109 env-steps/s aggregate
+(src/plot_profiling.py:258).
 
-The benchmark steps N humanoid3d walk-imitation envs (physics + mocap
-reward + termination + RSI auto-reset fused on device) with a policy-
-shaped random action source, scanned over T steps in one XLA program.
+Extra lines (breadth per the reference's profiling of both envs,
+src/plot_profiling.py:258,486,816,828):
+  - G1 run env-step throughput (24 contact slots, 37 actuated DoF)
+  - DPCombinedEnv env-step throughput (motion state machine)
+  - humanoid3d policy+step throughput (MLP forward fused into the
+    step — deliverable inference-rollout speed, not just raw physics)
+  - PPO train throughput (rollout + GAE + 20-epoch update; env-steps/s
+    of the full training loop)
+Set BENCH_DRIVER_ONLY=1 to print just the first line.
 """
 import json
 import os
 import time
 
-import numpy as np
+REFERENCE_STEPS_PER_SEC = 1390.0       # DPEnv, 32 procs
+REFERENCE_COMBINED_STEPS_PER_SEC = 109.0  # DPCombinedEnv, 32 procs
 
-REFERENCE_STEPS_PER_SEC = 1390.0
+
+def _bench(fn, *args):
+    """Compile + time one repetition of a jitted closure."""
+    import jax
+
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.time() - t0, compile_s
+
+
+def bench_env_steps(env, n_envs, n_steps, policy=False, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_envs)
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    if policy:
+        from deepmimic_mujoco_tpu.rl import networks
+
+        net = networks.ActorCritic(env.action_size)
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros(env.obs_size))
+
+    def rollout(states, obs, key):
+        def body(carry, _):
+            states, obs, key = carry
+            key, sub = jax.random.split(key)
+            if policy:
+                actions, _, _ = jax.vmap(lambda o: net.apply(params, o))(obs)
+            else:
+                actions = 0.1 * jax.random.normal(
+                    sub, (n_envs, env.action_size), jnp.float32)
+            states, out = jax.vmap(env.step_auto_reset)(states, actions)
+            return (states, out.obs, key), out.reward.mean()
+
+        carry, rews = jax.lax.scan(body, (states, obs, key), None,
+                                   length=n_steps)
+        return rews.mean()
+
+    run = jax.jit(rollout)
+    dt, compile_s = _bench(run, states, obs, jax.random.PRNGKey(2))
+    return n_envs * n_steps / dt, compile_s
+
+
+def bench_train(n_envs, horizon, n_iters=4):
+    import jax
+
+    from deepmimic_mujoco_tpu.envs import DPEnv
+    from deepmimic_mujoco_tpu.rl.ppo import PPO, PPOConfig
+
+    env = DPEnv(motion="walk", robot="humanoid3d")
+    cfg = PPOConfig(n_envs=n_envs, horizon=horizon,
+                    minibatch_size=min(4096, n_envs * horizon))
+    ppo = PPO(env, cfg)
+    ts = ppo.init(0)
+
+    def run(ts):
+        for _ in range(n_iters):
+            ts, stats = ppo._train_iter(ts)
+        return ts, stats
+
+    t0 = time.time()
+    ts, stats = run(ts)
+    jax.block_until_ready(stats)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    ts, stats = run(ts)
+    jax.block_until_ready(stats)
+    dt = time.time() - t0
+    return n_envs * horizon * n_iters / dt, compile_s
 
 
 def main():
@@ -23,53 +106,47 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "16" if small else "256"))
 
     import jax
-    import jax.numpy as jnp
 
     from deepmimic_mujoco_tpu.envs import DPEnv
 
+    device = str(jax.devices()[0])
+
+    def emit(metric, sps, compile_s, baseline, **kw):
+        print(json.dumps({
+            "metric": metric, "value": round(float(sps), 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(float(sps) / baseline, 2),
+            "n_envs": n_envs, "compile_seconds": round(compile_s, 1),
+            "device": device, **kw}), flush=True)
+
     env = DPEnv(motion="walk", robot="humanoid3d")
+    sps, comp = bench_env_steps(env, n_envs, n_steps)
+    emit("env_steps_per_sec_per_chip_humanoid3d_walk", sps, comp,
+         REFERENCE_STEPS_PER_SEC, n_steps=n_steps)
+    if os.environ.get("BENCH_DRIVER_ONLY") == "1":
+        return
 
-    keys = jax.random.split(jax.random.PRNGKey(0), n_envs)
-    reset = jax.jit(jax.vmap(env.reset))
-    states, obs = reset(keys)
+    env_g1 = DPEnv(motion="run", robot="unitree_g1")
+    sps, comp = bench_env_steps(env_g1, n_envs, n_steps)
+    emit("env_steps_per_sec_per_chip_g1_run", sps, comp,
+         REFERENCE_STEPS_PER_SEC)
 
-    def rollout(states, key):
-        def body(carry, _):
-            states, key = carry
-            key, sub = jax.random.split(key)
-            actions = 0.1 * jax.random.normal(
-                sub, (n_envs, env.action_size), jnp.float32)
-            states, out = jax.vmap(env.step_auto_reset)(states, actions)
-            return (states, key), out.reward.mean()
+    from deepmimic_mujoco_tpu.envs.combined_env import DPCombinedEnv
 
-        (states, key), rews = jax.lax.scan(body, (states, key), None,
-                                           length=n_steps)
-        return states, rews.mean()
+    env_c = DPCombinedEnv()
+    sps, comp = bench_env_steps(env_c, n_envs, n_steps)
+    emit("env_steps_per_sec_per_chip_combined", sps, comp,
+         REFERENCE_COMBINED_STEPS_PER_SEC)
 
-    run = jax.jit(rollout)
-    # compile + warmup
-    t0 = time.time()
-    states2, r = run(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(r)
-    compile_s = time.time() - t0
+    sps, comp = bench_env_steps(env, n_envs, n_steps, policy=True)
+    emit("policy_env_steps_per_sec_per_chip_humanoid3d_walk", sps, comp,
+         REFERENCE_STEPS_PER_SEC)
 
-    t0 = time.time()
-    states2, r = run(states2, jax.random.PRNGKey(2))
-    jax.block_until_ready(r)
-    dt = time.time() - t0
-
-    steps_per_sec = n_envs * n_steps / dt
-    result = {
-        "metric": "env_steps_per_sec_per_chip_humanoid3d_walk",
-        "value": round(float(steps_per_sec), 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(float(steps_per_sec) / REFERENCE_STEPS_PER_SEC, 2),
-        "n_envs": n_envs,
-        "n_steps": n_steps,
-        "compile_seconds": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    tr_envs, tr_hor = (2048, 64) if not small else (64, 8)
+    sps, comp = bench_train(n_envs=tr_envs, horizon=tr_hor)
+    emit("train_env_steps_per_sec_per_chip_humanoid3d_walk_ppo", sps,
+         comp, REFERENCE_STEPS_PER_SEC, train_envs=tr_envs,
+         horizon=tr_hor, ppo_epochs=20)
 
 
 if __name__ == "__main__":

@@ -52,36 +52,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 POWER_ITERS = 12  # matches physics/solver.py:_pgs_iterate
-_VMEM_BUDGET = 10 * 1024 * 1024  # conservative v5e working-set cap
+# Mosaic requires the lane (env) block dim to be a multiple of 128; one
+# 128-env block per grid program keeps the G1-sized working set
+# (~11 MB: JT + in-place W + M + L + vectors, fp32) inside v5e VMEM.
+ENV_BLOCK = 128
 
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _env_block(nv_p: int, n_p: int) -> int:
-    """Envs per grid program, scaled so the VMEM working set (inputs,
-    their double buffers, and the W/residual temporaries) stays inside
-    budget (ADVICE r2: never let a block-size knob outgrow VMEM)."""
-    for e in (128, 64, 32):
-        per_env = 4 * (3 * nv_p * n_p      # JT in + S residual + W
-                       + 2 * nv_p * nv_p   # M in + L
-                       + 10 * n_p + 8 * nv_p)
-        if per_env * e + 4 * (nv_p * n_p + nv_p * nv_p) * e <= _VMEM_BUDGET:
-            return e
-    return 16
-
-
-def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
-                  mu_ref, lam0_ref, qacc_ref, qfrc_ref, lam_ref, *,
+def _fused_kernel(M_hbm, JT_hbm, qf_ref, aref_ref, imp_ref, act_ref,
+                  mu_ref, lam0_ref, qacc_ref, qfrc_ref, lam_ref,
+                  m_vmem, jt_vmem, dma_sems, *,
                   nv, nv_p, n_p, K, L, iterations):
     f32 = jnp.float32
-    E = M_ref.shape[-1]
+    E = qf_ref.shape[-1]
+
+    # ---- 0. manual DMA of the two matrix operands -------------------
+    # M and J^T stay in HBM (memory_space=ANY) and are copied into
+    # SINGLE-buffered VMEM scratch here: the default pipelined
+    # double-buffering of a (nv_p, n_p, E) block costs 2x its VMEM,
+    # which overflows the 16 MB budget at G1 dims (nv=43, n=109,
+    # E=128). Compute per program (~60 us) dwarfs the ~5 us copy, so
+    # losing DMA/compute overlap is free.
+    i = pl.program_id(0)
+    cp_m = pltpu.make_async_copy(
+        M_hbm.at[:, :, pl.ds(i * E, E)], m_vmem, dma_sems.at[0])
+    cp_j = pltpu.make_async_copy(
+        JT_hbm.at[:, :, pl.ds(i * E, E)], jt_vmem, dma_sems.at[1])
+    cp_m.start()
+    cp_j.start()
+    cp_m.wait()
+    cp_j.wait()
 
     # ---- 1. Cholesky, right-looking ---------------------------------
     # Padded diagonal entries arrive as 1.0 (set host-side), so the
     # loop runs uniformly over nv_p.
-    A = M_ref[...]                                   # (nv_p, nv_p, E)
+    A = m_vmem[...]                                  # (nv_p, nv_p, E)
     Lmat = jnp.zeros_like(A)
     inv_Ld = jnp.zeros((nv_p, E), f32)               # rows = 1/L[k,k]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nv_p, E), 0)
@@ -96,15 +104,17 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
         A = A - col[:, None, :] * col[None, :, :]
 
     # ---- 2. W = L^-1 J^T (forward substitution, outer form) ---------
-    S = JT_ref[...]                                  # (nv_p, n_p, E)
-    W = jnp.zeros_like(S)
+    # In-place on the DMA scratch buffer: at step k row k becomes
+    # final (rk), rows > k subtract the update (the row-k
+    # self-subtraction is masked out; rows < k have L[i,k]=0).
+    W = jt_vmem[...]                                 # (nv_p, n_p, E)
+    row_gt = jax.lax.broadcasted_iota(jnp.int32, (nv_p, 1), 0)
     for k in range(nv):
-        rk = S[k] * inv_Ld[k][None, :]               # (n_p, E)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (nv_p, 1), 0) == k
-                  ).astype(f32)
-        W = W + onehot[:, :, None] * rk[None, :, :]
-        # rows i<k have L[i,k]=0: the update is a no-op there
-        S = S - Lmat[:, k, :][:, None, :] * rk[None, :, :]
+        rk = W[k] * inv_Ld[k][None, :]               # (n_p, E)
+        onehot = (row_gt == k).astype(f32)
+        colk = Lmat[:, k, :] * (row_gt > k).astype(f32)
+        W = (W + onehot[:, :, None] * (rk - W[k])[None, :, :]
+             - colk[:, None, :] * rk[None, :, :])
 
     # ---- 3. qacc_smooth = M^-1 qfrc (two triangular solves) ---------
     def fwd_solve(rhs):                              # L y = rhs
@@ -128,18 +138,22 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
         return z
 
     qf = qf_ref[...]                                 # (nv_p, E)
-    qacc_smooth = bwd_solve(fwd_solve(qf))
+    y = fwd_solve(qf)                                # L^-1 qfrc
+    qacc_smooth = bwd_solve(y)
 
     # ---- 4. diag(A), R, b -------------------------------------------
+    # J is never re-read after W's init: J qacc_smooth = W^T (L^T
+    # M^-1 qf) = W^T y, and J^T lam = L (W lam) — keeping the JT value
+    # out of the kernel stack is what fits the G1-sized block (nv=43,
+    # n=109, E=128) under the 16 MB VMEM limit.
     imp = imp_ref[...]                               # (n_p, E)
     active = act_ref[...]
     aref = aref_ref[...]
     mu = mu_ref[...]                                 # (K_p, E)
-    JT = JT_ref[...]
     diagA = jnp.clip(jnp.sum(W * W, axis=0), 1e-8, None)     # (n_p, E)
     R = (1.0 - imp) / imp * diagA
     inv_diag = 1.0 / jnp.clip(diagA + R, 1e-8, None)
-    b = jnp.sum(JT * qacc_smooth[:, None, :], axis=0) - aref  # (n_p, E)
+    b = jnp.sum(W * y[:, None, :], axis=0) - aref    # (n_p, E)
 
     def matvec(v):                                   # Ahat @ v
         u = jnp.sum(W * v[None, :, :], axis=1)       # (nv_p, E) = W v
@@ -180,7 +194,8 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
     # ---- 7. outputs --------------------------------------------------
     t = jnp.sum(W * lam[None, :, :], axis=1)         # (nv_p, E) = W lam
     qacc_ref[...] = qacc_smooth + bwd_solve(t)
-    qfrc_ref[...] = jnp.sum(JT * lam[None, :, :], axis=1)
+    # J^T lam = L (W lam) = L t (see step 4 note)
+    qfrc_ref[...] = jnp.sum(Lmat * t[None, :, :], axis=1)
     lam_ref[...] = lam
 
 
@@ -193,7 +208,7 @@ def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
     nv_p = _round_up(nv, 8)
     n_p = _round_up(n, 8)
     K_p = _round_up(K, 8)
-    E = _env_block(nv_p, n_p)
+    E = ENV_BLOCK
     B_pad = _round_up(B, E)
 
     # pad + transpose to env-in-lanes
@@ -218,17 +233,14 @@ def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
     kernel = functools.partial(
         _fused_kernel, nv=nv, nv_p=nv_p, n_p=n_p, K=K, L=L,
         iterations=iterations)
-    mat_spec = lambda r: pl.BlockSpec((r, nv_p, E), lambda i: (0, 0, i),
-                                      memory_space=pltpu.VMEM)
     vec_spec = lambda r: pl.BlockSpec((r, E), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
     qacc, qfrc, lam = pl.pallas_call(
         kernel,
         grid=(B_pad // E,),
         in_specs=[
-            mat_spec(nv_p),
-            pl.BlockSpec((nv_p, n_p, E), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # M (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # J^T (manual DMA)
             vec_spec(nv_p), vec_spec(n_p), vec_spec(n_p), vec_spec(n_p),
             vec_spec(K_p), vec_spec(n_p),
         ],
@@ -237,6 +249,11 @@ def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
             jax.ShapeDtypeStruct((nv_p, B_pad), f32),
             jax.ShapeDtypeStruct((nv_p, B_pad), f32),
             jax.ShapeDtypeStruct((n_p, B_pad), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nv_p, nv_p, E), f32),
+            pltpu.VMEM((nv_p, n_p, E), f32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*args)

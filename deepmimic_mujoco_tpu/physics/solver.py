@@ -210,31 +210,21 @@ def _use_fused() -> bool:
             and jax.default_backend() in ("tpu", "axon"))
 
 
-def _use_pallas() -> bool:
-    # The older standalone Pallas PGS kernel (ops/pgs_kernel.py):
-    # superseded by the fused kernel; opt in via env var.
-    import os
-
-    import jax
-
-    return (os.environ.get("DM_TPU_PGS_PALLAS") == "1"
-            and jax.default_backend() in ("tpu", "axon"))
-
-
 def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
                  iterations, relaxation, lam0=None):
-    """Dispatch the iteration to the Pallas TPU kernel (A resident in
-    VMEM across sweeps) or a pure-XLA fallback loop elsewhere."""
+    """Pure-XLA iteration (CPU tests, interpretability; the TPU default
+    is the fused Pallas kernel dispatched in solve_constraints). An
+    earlier standalone Pallas PGS kernel that took pre-built A as input
+    measured SLOWER than this XLA loop on v5e (98-109k vs 200k env
+    steps/s at batch 4096, round-2 bench): with A already materialized
+    in HBM, the solve is bandwidth-bound either way and the kernel only
+    added grid-program launch overhead. The win came from fusing the
+    A-BUILD (and the mass-matrix solve) into the same kernel so A never
+    exists in HBM at all — see ops/fused_solve.py."""
     dtype = Ahat.dtype
     if iterations == 0:  # constraints disabled (smooth-parity tests)
         return jnp.zeros(Ahat.shape[0], dtype)
-    if _use_pallas():
-        from deepmimic_mujoco_tpu.ops.pgs_kernel import pgs_solve_single
 
-        return pgs_solve_single(Ahat, b_vec, inv_diag, mu, activef, lam0,
-                                K=K, L=L, iterations=iterations)
-
-    # ---- XLA fallback (CPU tests, interpretability) -------------------
     # barrier: stop XLA from sinking A's definition into the loop and
     # re-evaluating the whole upstream pipeline per sweep
     Ahat, b_vec, inv_diag, activef, mu = jax.lax.optimization_barrier(
