@@ -81,7 +81,9 @@ class DPCombinedEnv:
                  getup_timeout_to_walk: bool = False,
                  max_contacts: int = 24,
                  iterations: Optional[int] = None,
-                 integrator: Optional[int] = None):
+                 integrator: Optional[int] = None,
+                 warm_start_lam: bool = False,
+                 mesh_subcapsules: int = 1):
         # Training default: Euler (see DPEnv); RK4 available for parity.
         if integrator is None:
             from deepmimic_mujoco_tpu.models.physics_model import EULER
@@ -91,7 +93,9 @@ class DPCombinedEnv:
         self.robot_config = RobotConfig(robot=self.robot)
         self.model = load_model(self.robot_config.xml_path)
         self.engine = Engine(self.model, max_contacts=max_contacts,
-                             iterations=iterations, integrator=integrator)
+                             iterations=iterations, integrator=integrator,
+                             warm_start_lam=warm_start_lam,
+                             mesh_subcapsules=mesh_subcapsules)
         self.spec = RobotSpec.build(self.model, self.robot_config)
         self.reward_tables = reward_lib.make_reward_tables(self.model, self.spec)
         self.getup_timeout_to_walk = getup_timeout_to_walk
@@ -177,21 +181,39 @@ class DPCombinedEnv:
     # ---- API --------------------------------------------------------------
     def _reset_state(self, key) -> CombinedEnvState:
         """50/50 walk (past the amnesty window) or getup at a random
-        frame (reference: src/combined_env.py:208-244)."""
-        key, k1, k2, k3 = jax.random.split(key, 4)
+        frame (reference: src/combined_env.py:208-244). Training-only
+        extensions (cfg, default off): a HANDOFF_RSI_FRAC share of
+        resets lands in the last quarter of the getup clip, and
+        RSI_RANDOM_PA randomizes the commanded locomotion, so the
+        getup -> walk|run handoff is actually practiced from resets."""
+        cfg = self.ENV_CFG
+        key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
         pick_walk = jax.random.bernoulli(k1)
-        walk_steps = (self.ENV_CFG.AMNESTY_STEPS + 10
+        walk_steps = (cfg.AMNESTY_STEPS + 10
                       + jax.random.randint(k2, (), 0,
                                            self.motion_lengths[WALK]))
         getup_steps = jax.random.randint(k3, (), 0,
                                          self.motion_lengths[GETUP])
         motion_id = jnp.where(pick_walk, WALK, GETUP).astype(jnp.int32)
-        n_steps = jnp.where(pick_walk, walk_steps, getup_steps).astype(jnp.int32)
-        idx = n_steps % self.motion_lengths[motion_id]
+        n_steps = jnp.where(pick_walk, walk_steps, getup_steps)
+        if cfg.HANDOFF_RSI_FRAC > 0.0:
+            glen = self.motion_lengths[GETUP]
+            pick_handoff = jax.random.bernoulli(k4, cfg.HANDOFF_RSI_FRAC)
+            handoff_steps = glen - 1 - jax.random.randint(
+                k5, (), 0, jnp.maximum(glen // 4, 1))
+            motion_id = jnp.where(pick_handoff, GETUP, motion_id
+                                  ).astype(jnp.int32)
+            n_steps = jnp.where(pick_handoff, handoff_steps, n_steps)
+        pa = jnp.asarray(PA_WALK, jnp.int32)
+        if cfg.RSI_RANDOM_PA:
+            pa = jnp.where(jax.random.bernoulli(k6), PA_RUN, PA_WALK
+                           ).astype(jnp.int32)
+        idx = n_steps.astype(jnp.int32) % self.motion_lengths[motion_id]
         qpos, qvel, _, _ = self._mocap_at(motion_id, idx)
         return CombinedEnvState(
-            qpos=qpos, qvel=qvel, motion_id=motion_id, n_steps=n_steps,
-            player_action=jnp.asarray(PA_WALK, jnp.int32),
+            qpos=qpos, qvel=qvel, motion_id=motion_id,
+            n_steps=n_steps.astype(jnp.int32),
+            player_action=pa,
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32), key=key,
             lam=jnp.zeros(self.engine.n_constraint_rows, jnp.float32))

@@ -103,3 +103,13 @@ class DPCombinedEnvConfig:
     ADD_PLAYER_ACTION_OBS: bool = True
     MAX_PLAYER_ACTIONS: int = 3
     AMNESTY_STEPS: int = 150
+    # ---- training-only RSI shaping (defaults = reference behavior,
+    # src/combined_env.py:208-244) ------------------------------------
+    # fraction of resets placed in the LAST quarter of the getup clip
+    # so the policy practices the getup -> locomotion handoff (the
+    # round-2 failure mode: falls within a step or two of the switch)
+    HANDOFF_RSI_FRAC: float = 0.0
+    # randomize the reset player action between walk/run (reference
+    # resets always command walk; a handoff into run is then never
+    # practiced from a fresh reset)
+    RSI_RANDOM_PA: bool = False

@@ -96,7 +96,9 @@ class DPEnv:
                  max_contacts: Optional[int] = None,
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None,
-                 speed: float = 1.0):
+                 speed: float = 1.0,
+                 warm_start_lam: bool = False,
+                 mesh_subcapsules: int = 1):
         # Training default: semi-implicit Euler with implicit joint
         # damping (1 forward/step). The reference's MJCF requests RK4
         # (4 forwards); pass integrator=RK4 for strict parity runs.
@@ -113,7 +115,9 @@ class DPEnv:
             # solver cost scales with (3*max_contacts + nlimit)^2
             max_contacts = 16 if robot == "humanoid3d" else 24
         self.engine = Engine(self.model, max_contacts=max_contacts,
-                             iterations=iterations, integrator=integrator)
+                             iterations=iterations, integrator=integrator,
+                             warm_start_lam=warm_start_lam,
+                             mesh_subcapsules=mesh_subcapsules)
         self.spec = RobotSpec.build(self.model, self.robot_config)
         self.reward_tables = reward_lib.make_reward_tables(self.model, self.spec)
 

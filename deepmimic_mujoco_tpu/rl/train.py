@@ -84,6 +84,24 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--no-wandb", action="store_true")
     p.add_argument("--no-render", action="store_true")
     p.add_argument("--out", default="~/deep_mimic")
+    # engine-semantics knobs (train new policies under flipped
+    # defaults before committing a default change — trained policies
+    # are sensitive to the 50-iteration partial solution they saw)
+    p.add_argument("--warm-start-lam", action="store_true",
+                   help="carry solver forces across steps (engine "
+                        "warm start)")
+    p.add_argument("--mesh-subcapsules", type=int, default=1,
+                   help="per-link capsule proxies for mesh "
+                        "self-collision (G1)")
+    p.add_argument("--rk4", action="store_true",
+                   help="train under RK4 (reference MJCF integrator) "
+                        "instead of semi-implicit Euler")
+    p.add_argument("--handoff-rsi", type=float, default=0.0,
+                   help="combined env: fraction of resets placed in "
+                        "the last quarter of the getup clip")
+    p.add_argument("--rsi-random-pa", action="store_true",
+                   help="combined env: randomize reset player action "
+                        "between walk and run")
     args = p.parse_args(argv)
     if required and not args.reason and not args.no_wandb:
         raise ValueError("Please provide a reason for this run")
@@ -98,11 +116,27 @@ def main(argv=None):
     from deepmimic_mujoco_tpu.rl import PPO, PPOConfig, checkpoint
     from deepmimic_mujoco_tpu.rl.eval import ThreadedEvaluator
 
+    integrator = None
+    if args.rk4:
+        from deepmimic_mujoco_tpu.models.physics_model import RK4
+        integrator = RK4
+    eng_kw = dict(warm_start_lam=args.warm_start_lam,
+                  mesh_subcapsules=args.mesh_subcapsules,
+                  integrator=integrator)
     if args.env == "deep_mimic_mujoco":
         env = DPEnv(motion=args.motion, robot=args.robot,
-                    speed=args.speed)
+                    speed=args.speed, **eng_kw)
     else:
-        env = DPCombinedEnv()
+        ccfg = None
+        if args.handoff_rsi or args.rsi_random_pa:
+            from deepmimic_mujoco_tpu.envs.config import (
+                DPCombinedEnvConfig,
+            )
+
+            ccfg = DPCombinedEnvConfig(
+                HANDOFF_RSI_FRAC=args.handoff_rsi,
+                RSI_RANDOM_PA=args.rsi_random_pa)
+        env = DPCombinedEnv(cfg=ccfg, **eng_kw)
 
     if args.preset == "legacy-ppo2":
         cfg = PPOConfig(n_envs=args.n_envs, horizon=128,

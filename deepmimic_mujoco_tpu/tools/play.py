@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--print-js", action="store_true",
                    help="print init qpos/qvel as JS arrays")
     p.add_argument("--log-actobs", action="store_true")
+    p.add_argument("--warm-start-lam", action="store_true")
+    p.add_argument("--mesh-subcapsules", type=int, default=1)
+    p.add_argument("--rk4", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -50,7 +53,14 @@ def main(argv=None):
 
     from deepmimic_mujoco_tpu.envs import GymDPEnv
 
-    env = GymDPEnv(motion=args.motion, robot=args.robot)
+    integrator = None
+    if args.rk4:
+        from deepmimic_mujoco_tpu.models.physics_model import RK4
+        integrator = RK4
+    env = GymDPEnv(motion=args.motion, robot=args.robot,
+                   warm_start_lam=args.warm_start_lam,
+                   mesh_subcapsules=args.mesh_subcapsules,
+                   integrator=integrator)
     obs = env.reset_model(idx_init=args.idx_init)
 
     if args.print_js:
