@@ -137,3 +137,26 @@ def test_vmapped_auto_reset(env):
     for _ in range(2):
         states, out = step(states, jnp.zeros((n, env.action_size)))
     assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_handoff_rsi_reset_distribution():
+    """Training-only RSI knobs: HANDOFF_RSI_FRAC concentrates resets in
+    the last quarter of the getup clip; RSI_RANDOM_PA mixes the reset
+    player action (defaults keep reference behavior, exercised by
+    test_reset_distribution)."""
+    from deepmimic_mujoco_tpu.envs.combined_env import PA_RUN, PA_WALK
+    from deepmimic_mujoco_tpu.envs.config import DPCombinedEnvConfig
+
+    cfg = DPCombinedEnvConfig(HANDOFF_RSI_FRAC=1.0, RSI_RANDOM_PA=True)
+    env = DPCombinedEnv(cfg=cfg, iterations=10)
+    states, obs = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(3), 64))
+    mids = np.asarray(states.motion_id)
+    steps = np.asarray(states.n_steps)
+    glen = int(env.motion_lengths[GETUP])
+    assert (mids == GETUP).all()
+    assert (steps >= glen - max(glen // 4, 1) - 1).all()
+    assert (steps < glen).all()
+    pas = np.asarray(states.player_action)
+    assert {PA_WALK, PA_RUN} == set(pas.tolist())  # both commands drawn
+    assert np.isfinite(np.asarray(obs)).all()
