@@ -46,6 +46,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -62,29 +64,35 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _fused_kernel(M_hbm, JT_hbm, qf_ref, aref_ref, imp_ref, act_ref,
+def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
                   mu_ref, lam0_ref, qacc_ref, qfrc_ref, lam_ref,
-                  m_vmem, jt_vmem, dma_sems, *,
-                  nv, nv_p, n_p, K, L, iterations):
+                  *scratch, nv, nv_p, n_p, K, L, iterations,
+                  manual_dma):
     f32 = jnp.float32
     E = qf_ref.shape[-1]
 
-    # ---- 0. manual DMA of the two matrix operands -------------------
-    # M and J^T stay in HBM (memory_space=ANY) and are copied into
-    # SINGLE-buffered VMEM scratch here: the default pipelined
-    # double-buffering of a (nv_p, n_p, E) block costs 2x its VMEM,
-    # which overflows the 16 MB budget at G1 dims (nv=43, n=109,
-    # E=128). Compute per program (~60 us) dwarfs the ~5 us copy, so
-    # losing DMA/compute overlap is free.
-    i = pl.program_id(0)
-    cp_m = pltpu.make_async_copy(
-        M_hbm.at[:, :, pl.ds(i * E, E)], m_vmem, dma_sems.at[0])
-    cp_j = pltpu.make_async_copy(
-        JT_hbm.at[:, :, pl.ds(i * E, E)], jt_vmem, dma_sems.at[1])
-    cp_m.start()
-    cp_j.start()
-    cp_m.wait()
-    cp_j.wait()
+    if manual_dma:
+        # ---- 0. manual DMA of the two matrix operands ---------------
+        # M and J^T stay in HBM (memory_space=ANY) and are copied into
+        # SINGLE-buffered VMEM scratch here: the default pipelined
+        # double-buffering of a (nv_p, n_p, E) block costs 2x its
+        # VMEM, which overflows the 16 MB budget at G1 dims (nv=43,
+        # n=109, E=128). Compute per program (~60 us) dwarfs the ~5 us
+        # copy, so losing DMA/compute overlap is cheap — but small
+        # models (humanoid3d) fit double-buffered and keep the overlap
+        # (+5% end-to-end), so this path is size-gated (_needs_dma).
+        m_vmem, jt_vmem, dma_sems = scratch
+        i = pl.program_id(0)
+        cp_m = pltpu.make_async_copy(
+            M_ref.at[:, :, pl.ds(i * E, E)], m_vmem, dma_sems.at[0])
+        cp_j = pltpu.make_async_copy(
+            JT_ref.at[:, :, pl.ds(i * E, E)], jt_vmem, dma_sems.at[1])
+        cp_m.start()
+        cp_j.start()
+        cp_m.wait()
+        cp_j.wait()
+    else:
+        m_vmem, jt_vmem = M_ref, JT_ref
 
     # ---- 1. Cholesky, right-looking ---------------------------------
     # Padded diagonal entries arrive as 1.0 (set host-side), so the
@@ -199,29 +207,26 @@ def _fused_kernel(M_hbm, JT_hbm, qf_ref, aref_ref, imp_ref, act_ref,
     lam_ref[...] = lam
 
 
-def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
-                   iterations, interpret=False):
-    """Batched entry: all inputs env-major (B, ...); returns
+def _solve_lanes(M_lanes, JT_lanes, qf, aref, imp, active, mu, lam0,
+                 *, nv, n, K, L, iterations, interpret=False):
+    """Core pallas dispatch over env-in-lanes operands.
+
+    M_lanes (nv_p, nv_p, B_pad) with unit padded diagonal, JT_lanes
+    (nv_p, n_p, B_pad); vectors env-major (B, rows). Returns
     (qacc (B, nv), qfrc (B, nv), lam (B, n))."""
-    B, n, nv = J.shape
-    f32 = M.dtype
+    B = qf.shape[0]
+    f32 = M_lanes.dtype
     nv_p = _round_up(nv, 8)
     n_p = _round_up(n, 8)
     K_p = _round_up(K, 8)
     E = ENV_BLOCK
     B_pad = _round_up(B, E)
 
-    # pad + transpose to env-in-lanes
-    eye_pad = jnp.concatenate(
-        [jnp.zeros((nv,), f32), jnp.ones((nv_p - nv,), f32)])
-    M_p = jnp.pad(M, ((0, B_pad - B), (0, nv_p - nv), (0, nv_p - nv)))
-    M_p = M_p + jnp.diag(eye_pad)[None]              # unit padded diag
-    JT_p = jnp.pad(J, ((0, B_pad - B), (0, n_p - n), (0, nv_p - nv)))
     pad2 = lambda x, t: jnp.pad(x, ((0, B_pad - B), (0, t - x.shape[1])))
     to_lanes2 = lambda x: x.T                        # (B, r) -> (r, B)
     args = (
-        jnp.transpose(M_p, (1, 2, 0)),               # (nv_p, nv_p, B)
-        jnp.transpose(JT_p, (2, 1, 0)),              # (nv_p, n_p, B)
+        M_lanes,
+        JT_lanes,
         to_lanes2(pad2(qf, nv_p)),
         to_lanes2(pad2(aref, n_p)),
         to_lanes2(jnp.clip(pad2(imp, n_p), 1e-5, 1 - 1e-5)),
@@ -230,17 +235,38 @@ def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
         to_lanes2(pad2(lam0, n_p)),
     )
 
+    # VMEM plan: pipelined (double-buffered) matrix inputs when they
+    # fit — DMA/compute overlap is worth ~5% — else single-buffered
+    # manual DMA (see _fused_kernel step 0)
+    mat_elems = nv_p * nv_p + nv_p * n_p
+    est = 4 * E * (2 * mat_elems            # pipelined input buffers
+                   + 2 * mat_elems          # A+L / W + loop transient
+                   + 12 * n_p + 8 * nv_p)
+    manual_dma = est > 13 * 1024 * 1024
     kernel = functools.partial(
         _fused_kernel, nv=nv, nv_p=nv_p, n_p=n_p, K=K, L=L,
-        iterations=iterations)
+        iterations=iterations, manual_dma=manual_dma)
     vec_spec = lambda r: pl.BlockSpec((r, E), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
+    if manual_dma:
+        mat_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        scratch = [
+            pltpu.VMEM((nv_p, nv_p, E), f32),
+            pltpu.VMEM((nv_p, n_p, E), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        mat_specs = [
+            pl.BlockSpec((nv_p, nv_p, E), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv_p, n_p, E), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = []
     qacc, qfrc, lam = pl.pallas_call(
         kernel,
         grid=(B_pad // E,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # M (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # J^T (manual DMA)
+        in_specs=mat_specs + [
             vec_spec(nv_p), vec_spec(n_p), vec_spec(n_p), vec_spec(n_p),
             vec_spec(K_p), vec_spec(n_p),
         ],
@@ -250,14 +276,114 @@ def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
             jax.ShapeDtypeStruct((nv_p, B_pad), f32),
             jax.ShapeDtypeStruct((n_p, B_pad), f32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((nv_p, nv_p, E), f32),
-            pltpu.VMEM((nv_p, n_p, E), f32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return (qacc[:nv, :B].T, qfrc[:nv, :B].T, lam[:n, :B].T)
+
+
+def _m_to_lanes(M, nv, nv_p, B_pad):
+    f32 = M.dtype
+    B = M.shape[0]
+    eye_pad = jnp.concatenate(
+        [jnp.zeros((nv,), f32), jnp.ones((nv_p - nv,), f32)])
+    M_p = jnp.pad(M, ((0, B_pad - B), (0, nv_p - nv), (0, nv_p - nv)))
+    M_p = M_p + jnp.diag(eye_pad)[None]              # unit padded diag
+    return jnp.transpose(M_p, (1, 2, 0))             # (nv_p, nv_p, B)
+
+
+def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
+                   iterations, interpret=False):
+    """Batched entry from an explicit per-env J (B, n, nv)."""
+    B, n, nv = J.shape
+    nv_p = _round_up(nv, 8)
+    n_p = _round_up(n, 8)
+    B_pad = _round_up(B, ENV_BLOCK)
+    JT_p = jnp.pad(J, ((0, B_pad - B), (0, n_p - n), (0, nv_p - nv)))
+    return _solve_lanes(
+        _m_to_lanes(M, nv, nv_p, B_pad), jnp.transpose(JT_p, (2, 1, 0)),
+        qf, aref, imp, active, mu, lam0,
+        nv=nv, n=n, K=K, L=L, iterations=iterations, interpret=interpret)
+
+
+def _fused_batched_parts(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf,
+                         aref, imp, active, mu, lam0, *, K, L, ld_idx,
+                         iterations, interpret=False):
+    """Batched entry that BUILDS J^T directly in the kernel's
+    env-in-lanes layout from contact-Jacobian parts — the per-env
+    (B, n, nv) J, its concat with limit rows, and the 3D transpose
+    never exist in HBM (~0.9 ms/step at batch 4096 in the J-based
+    path: einsum + layout copies).
+
+    Row r of contact c: J[rK+c, :] = frame[c,r,:] . (cd_lin[n] +
+    cd_ang[n] x rpos[c]) * w[c,n]; using a.(b x c) = b.(c x a), the
+    angular term contracts through G[c,r,:] = rpos[c] x frame[c,r,:],
+    so the whole build is two einsums emitted straight into
+    (nv, 3K, B) plus the static one-hot limit block scaled by sign."""
+    B, nv, _ = cd_lin.shape
+    n = 3 * K + L
+    f32 = cd_lin.dtype
+    nv_p = _round_up(nv, 8)
+    n_p = _round_up(n, 8)
+    B_pad = _round_up(B, ENV_BLOCK)
+
+    G = jnp.cross(rpos[:, :, None, :], frame)        # (B, K, 3, 3)
+    JT_c = (jnp.einsum("bcrd,bnd,bcn->nrcb", frame, cd_lin, w)
+            + jnp.einsum("bcri,bni,bcn->nrcb", G, cd_ang, w))
+    JT_c = JT_c.reshape(nv, 3 * K, B)
+    parts = [JT_c]
+    if L:
+        E_lim = np.zeros((nv, L), np.float32)
+        E_lim[np.asarray(ld_idx), np.arange(L)] = 1.0
+        parts.append(jnp.asarray(E_lim, f32)[:, :, None]
+                     * sign_l.T[None, :, :])         # (nv, L, B)
+    JT = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    JT = jnp.pad(JT, ((0, nv_p - nv), (0, n_p - n), (0, B_pad - B)))
+    return _solve_lanes(
+        _m_to_lanes(M, nv, nv_p, B_pad), JT,
+        qf, aref, imp, active, mu, lam0,
+        nv=nv, n=n, K=K, L=L, iterations=iterations, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_parts(K, L, ld_idx, iterations, interpret=False):
+    @jax.custom_batching.custom_vmap
+    def fused(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf, aref, imp,
+              active, mu, lam0):
+        out = _fused_batched_parts(
+            *[x[None] for x in (M, cd_lin, cd_ang, frame, rpos, w,
+                                sign_l, qf, aref, imp, active, mu,
+                                lam0)],
+            K=K, L=L, ld_idx=ld_idx, iterations=iterations,
+            interpret=interpret)
+        return tuple(o[0] for o in out)
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, *ops):
+        ops = [x if bt else jnp.broadcast_to(x, (axis_size,) + x.shape)
+               for x, bt in zip(ops, in_batched)]
+        out = _fused_batched_parts(*ops, K=K, L=L, ld_idx=ld_idx,
+                                   iterations=iterations,
+                                   interpret=interpret)
+        return out, (True, True, True)
+
+    return fused
+
+
+def fused_solve_parts_single(M, cd_lin, cd_ang, frame, rpos, w, sign_l,
+                             qf_smooth, aref, imp, active, mu,
+                             lam0=None, *, K: int, L: int,
+                             ld_idx: tuple, iterations: int,
+                             interpret: bool = False):
+    """Fused solve fed by contact-Jacobian PARTS (per-env J is never
+    materialized); under vmap the J^T build lands directly in the
+    kernel's env-in-lanes layout. ``ld_idx`` is the static tuple of
+    limited dof indices (the limit rows' +-e_dof columns)."""
+    if lam0 is None:
+        lam0 = jnp.zeros_like(aref)
+    fn = _make_fused_parts(K, L, tuple(ld_idx), iterations, interpret)
+    return fn(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf_smooth,
+              aref, imp, active, mu, lam0)
 
 
 @functools.lru_cache(maxsize=None)

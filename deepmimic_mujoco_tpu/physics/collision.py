@@ -199,15 +199,24 @@ def calibrate_proxy_gaps(m: PhysicsModel, tables: List[PairGroup],
 
     from deepmimic_mujoco_tpu.physics.kinematics import fwd_kinematics
 
-    kin = jax.jit(lambda q: fwd_kinematics(m, q))(
-        jnp.asarray(calib_qpos, jnp.float32))
+    # ONE jit over FK + every proxy group's narrow phase: the SoA
+    # narrow phase is hundreds of small jnp ops, and dispatching them
+    # eagerly through a remote-device tunnel (~60 ms/op) turns this
+    # one-time calibration into a multi-minute hang at env init.
+    need = [grp for grp in tables if grp.is_proxy.any()]
+    if not need:
+        return list(tables)
+    ds = jax.jit(lambda q: [
+        _narrow_groups(m, [grp], fwd_kinematics(m, q))[0][0]
+        for grp in need])(jnp.asarray(calib_qpos, jnp.float32))
+    gaps = {id(grp): np.asarray(d, np.float64)
+            for grp, d in zip(need, ds)}
     out = []
     for grp in tables:
-        if not grp.is_proxy.any():
+        if id(grp) not in gaps:
             out.append(grp)
             continue
-        d, _, _ = _narrow_groups(m, [grp], kin)[0]
-        d = np.asarray(d, np.float64)
+        d = gaps[id(grp)]
         ns = _SLOTS[grp.kind]
         proxy_slot = np.tile(grp.is_proxy, ns)
         gap = np.where(proxy_slot, np.minimum(d - grp.margin, 0.0), 0.0)

@@ -72,21 +72,32 @@ def _kb(solref, solimp, dt: float = 0.0):
     return k, b
 
 
-def build_contact_jacobian(m: PhysicsModel, com: Com, contacts: Contacts,
-                           body_dof: np.ndarray) -> jnp.ndarray:
-    """(K, 3, nv): rows = relative velocity of geom2's body w.r.t.
-    geom1's body at the contact point, in the contact frame."""
+def contact_jac_parts(m: PhysicsModel, com: Com, contacts: Contacts,
+                      body_dof: np.ndarray):
+    """Raw pieces of the contact Jacobian: (cd_lin (nv,3), cd_ang
+    (nv,3), rpos (K,3) contact point rel. the root subtree com, w
+    (K,nv) signed body-path dof mask). The fused TPU path consumes
+    these directly so the per-env (n, nv) J is never materialized."""
     g2b = jnp.asarray(np.asarray(m.geom_bodyid), jnp.int32)
     b1 = g2b[contacts.geom1]
     b2 = g2b[contacts.geom2]
     anchor = com.subtree_com[int(m.body_rootid[-1])]
     cd_ang = com.cdof[:, :3]                     # (nv, 3)
     cd_lin = com.cdof[:, 3:]
-    r = contacts.pos[:, None, :] - anchor        # (K, 1, 3)
-    Jp = cd_lin[None] + jnp.cross(cd_ang[None], r)   # (K, nv, 3)
+    rpos = contacts.pos - anchor                 # (K, 3)
     mask = jnp.asarray(body_dof, contacts.pos.dtype)  # (nbody, nv)
     w = mask[b2] - mask[b1]                      # (K, nv)
-    Jp = Jp * w[:, :, None]
+    return cd_lin, cd_ang, rpos, w
+
+
+def build_contact_jacobian(m: PhysicsModel, com: Com, contacts: Contacts,
+                           body_dof: np.ndarray) -> jnp.ndarray:
+    """(K, 3, nv): rows = relative velocity of geom2's body w.r.t.
+    geom1's body at the contact point, in the contact frame."""
+    cd_lin, cd_ang, rpos, w = contact_jac_parts(m, com, contacts,
+                                                body_dof)
+    Jp = cd_lin[None] + jnp.cross(cd_ang[None], rpos[:, None, :])
+    Jp = Jp * w[:, :, None]                      # (K, nv, 3)
     return jnp.einsum("krd,knd->krn", contacts.frame, Jp)
 
 
@@ -108,17 +119,32 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
     nv = m.nv
     K = contacts.dist.shape[0]
 
+    use_fused = bool(iterations) and _use_fused()
+
     # ---- contact rows (segment-major: normals | t1 | t2 | limits) -----
-    Jc = build_contact_jacobian(m, com, contacts, body_dof)   # (K, 3, nv)
+    if use_fused:
+        # J is never materialized: the Pallas batch rule builds J^T
+        # straight in kernel layout from these parts, and the contact
+        # velocity contracts through u = sum_n w v cd (Jp v = u_lin +
+        # u_ang x r per contact)
+        cd_lin, cd_ang, rpos, w = contact_jac_parts(
+            m, com, contacts, body_dof)
+        wv = w * qvel[None, :]
+        u_lin = wv @ cd_lin                      # (K, 3)
+        u_ang = wv @ cd_ang
+        vel_c = jnp.einsum(
+            "krd,kd->kr", contacts.frame,
+            u_lin + jnp.cross(u_ang, rpos))
+    else:
+        Jc = build_contact_jacobian(m, com, contacts, body_dof)
+        vel_c = jnp.einsum("krn,n->kr", Jc, qvel)
     pos_c = contacts.dist - contacts.includemargin
     active_c = pos_c < 0.0
     imp_c = _impedance(contacts.solimp, pos_c)
     k_c, b_c = _kb(contacts.solref, contacts.solimp, dt)
-    vel_c = jnp.einsum("krn,n->kr", Jc, qvel)
     normal_sel = jnp.asarray([1.0, 0.0, 0.0], dtype)
     aref_c = -b_c[:, None] * vel_c - (k_c * imp_c * pos_c)[:, None] * normal_sel
 
-    J = jnp.concatenate([Jc[:, 0], Jc[:, 1], Jc[:, 2]], axis=0)
     aref = jnp.concatenate([aref_c[:, 0], aref_c[:, 1], aref_c[:, 2]])
     imp = jnp.tile(imp_c, 3)
     active = jnp.tile(active_c, 3)
@@ -147,24 +173,31 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
         imp = jnp.concatenate([imp, imp_l])
         active = jnp.concatenate([active, active_l])
 
+    activef = active.astype(dtype)
+    mu = contacts.friction[:, 0]
+
+    if use_fused:
+        # one Pallas kernel: M^-1, J^T build, A, and all sweeps in VMEM
+        from deepmimic_mujoco_tpu.ops.fused_solve import (
+            fused_solve_parts_single,
+        )
+
+        lam0_k = lam0.astype(dtype) if lam0 is not None else None
+        sign_l = (sign if L else jnp.zeros((0,), dtype))
+        qacc, qfrc, lam = fused_solve_parts_single(
+            M_hat, cd_lin, cd_ang, contacts.frame, rpos, w, sign_l,
+            qfrc_smooth, aref, imp, activef, mu, lam0_k,
+            K=K, L=L, ld_idx=tuple(int(i) for i in ld_idx),
+            iterations=iterations)
+        return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
+
     # ---- unified J: contact rows + materialized +-unit limit rows ----
+    J = jnp.concatenate([Jc[:, 0], Jc[:, 1], Jc[:, 2]], axis=0)
     if L:
         E_lim = np.zeros((L, nv), np.float32)
         E_lim[np.arange(L), ld_idx] = 1.0
         J_lim = sign[:, None] * jnp.asarray(E_lim, dtype)
         J = jnp.concatenate([J, J_lim], axis=0)              # (n, nv)
-    activef = active.astype(dtype)
-    mu = contacts.friction[:, 0]
-
-    if iterations and _use_fused():
-        # one Pallas kernel: M^-1, A-build, and all sweeps in VMEM
-        from deepmimic_mujoco_tpu.ops.fused_solve import fused_solve_single
-
-        lam0_k = lam0.astype(dtype) if lam0 is not None else None
-        qacc, qfrc, lam = fused_solve_single(
-            M_hat, J, qfrc_smooth, aref, imp, activef, mu, lam0_k,
-            K=K, L=L, iterations=iterations)
-        return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
     # ---- XLA fallback: explicit inverse + batched matmuls ------------
     # The limit rows ride the same two clean matmuls as the contact

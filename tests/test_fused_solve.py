@@ -84,3 +84,62 @@ def test_fused_warm_start_parity():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1.0)
         assert np.abs(a - b).max() / scale < 2e-4, name
+
+
+def test_fused_parts_matches_explicit_j():
+    """The parts-based entry (J^T built inside the batch rule) must
+    equal the explicit-J entry on the J assembled the solver way:
+    rows [frame_r . (cd_lin + cd_ang x r) * w | sign * e_dof]."""
+    from deepmimic_mujoco_tpu.ops.fused_solve import (
+        fused_solve_parts_single,
+    )
+
+    nv, K, L, its = 34, 16, 28, 40
+    B = 3
+    r = np.random.RandomState(11)
+    ld_idx = np.sort(r.choice(nv, L, replace=False))
+
+    Ms, Js, parts = [], [], []
+    for b in range(B):
+        rb = np.random.RandomState(100 + b)
+        G = rb.randn(nv, nv)
+        M = (G @ G.T + nv * np.eye(nv)).astype(np.float32)
+        cd_lin = rb.randn(nv, 3).astype(np.float32)
+        cd_ang = rb.randn(nv, 3).astype(np.float32)
+        frame = rb.randn(K, 3, 3).astype(np.float32)
+        rpos = rb.randn(K, 3).astype(np.float32)
+        w = (rb.rand(K, nv) < 0.5).astype(np.float32)
+        sign = np.where(rb.rand(L) < 0.5, 1.0, -1.0).astype(np.float32)
+        Jp = (cd_lin[None] + np.cross(np.broadcast_to(cd_ang[None], (K, nv, 3)),
+                                      rpos[:, None, :])) * w[:, :, None]
+        Jc = np.einsum("krd,knd->krn", frame, Jp)
+        E_lim = np.zeros((L, nv), np.float32)
+        E_lim[np.arange(L), ld_idx] = 1.0
+        J = np.concatenate([Jc[:, 0], Jc[:, 1], Jc[:, 2],
+                            sign[:, None] * E_lim], axis=0)
+        Ms.append(M)
+        Js.append(J)
+        parts.append((cd_lin, cd_ang, frame, rpos, w, sign))
+
+    _, J0, qf, aref, imp, active, mu = _mk(7, nv, K, L)
+    stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
+    M_b = jnp.asarray(np.stack(Ms))
+    J_b = jnp.asarray(np.stack(Js))
+    rep = lambda a: jnp.asarray(np.broadcast_to(a, (B,) + a.shape).copy())
+
+    ref = jax.vmap(lambda M, J: fused_solve_single(
+        M, J, jnp.asarray(qf), jnp.asarray(aref), jnp.asarray(imp),
+        jnp.asarray(active), jnp.asarray(mu), K=K, L=L,
+        iterations=its, interpret=True))(M_b, J_b)
+    got = jax.vmap(lambda M, cl, ca, fr, rp, w_, sg, qf_, ar, im, ac, mu_:
+                   fused_solve_parts_single(
+                       M, cl, ca, fr, rp, w_, sg, qf_, ar, im, ac, mu_,
+                       K=K, L=L, ld_idx=tuple(int(i) for i in ld_idx),
+                       iterations=its, interpret=True))(
+        M_b, stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
+        rep(qf), rep(aref), rep(imp), rep(active), rep(mu))
+
+    for name, a, b in zip(("qacc", "qfrc", "lam"), ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 2e-4, name
