@@ -24,21 +24,22 @@ from deepmimic_mujoco_tpu.rl.checkpoint import restore_params
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 GATES = [
-    # (checkpoint dir, motion, robot, idx_init, min reward)
+    # (checkpoint dir, motion, robot, idx_init, min reward, env kwargs)
     ("runs/walk_test20260816-1420_50_videos/walk_test20260816-1420_50_best",
-     "walk", "unitree_g1", 20, 90.0),
-    ("runs/walk_final_params", "walk", "humanoid3d", 20, 90.0),
+     "walk", "unitree_g1", 20, 90.0, {}),
+    ("runs/walk_final_params", "walk", "humanoid3d", 20, 90.0, {}),
     # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50):
     # trained via the alive+velmatch shaping curriculum then five
     # pure-reward continuations with the adaptive-lr KL controller
     # (620M steps total); scores 116.39 at commit time.
     ("runs/run_test20260817-0507_52_videos/run_test20260817-0507_52_best",
-     "run", "unitree_g1", 20, 90.0),
+     "run", "unitree_g1", 20, 90.0, {}),
 ]
 
 
-def _episode_reward(ckpt, motion, robot, idx_init, max_steps=1000):
-    env = DPEnv(motion=motion, robot=robot)
+def _episode_reward(ckpt, motion, robot, idx_init, max_steps=1000,
+                    env_kwargs=None):
+    env = DPEnv(motion=motion, robot=robot, **(env_kwargs or {}))
     net = networks.ActorCritic(env.action_size)
     tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros(env.obs_size))
     params = restore_params(ckpt, tmpl)
@@ -66,11 +67,13 @@ def _episode_reward(ckpt, motion, robot, idx_init, max_steps=1000):
     return float(episode(jax.random.PRNGKey(0)))
 
 
-@pytest.mark.parametrize("ckpt,motion,robot,idx,min_rew", GATES)
-def test_checkpoint_gate(ckpt, motion, robot, idx, min_rew):
+@pytest.mark.parametrize("ckpt,motion,robot,idx,min_rew,env_kwargs",
+                         GATES)
+def test_checkpoint_gate(ckpt, motion, robot, idx, min_rew, env_kwargs):
     path = os.path.join(_REPO, ckpt)
     if not os.path.isdir(path):
         pytest.skip(f"checkpoint not committed yet: {ckpt}")
-    rew = _episode_reward(path, motion, robot, idx)
+    rew = _episode_reward(path, motion, robot, idx,
+                          env_kwargs=env_kwargs)
     assert rew > min_rew, (
         f"{motion}/{robot} gate failed: ep_rew {rew:.2f} <= {min_rew}")
