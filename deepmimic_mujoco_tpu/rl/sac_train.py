@@ -30,6 +30,13 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--total", type=int, default=10 * M)
     p.add_argument("--out", default="~/deep_mimic")
+    p.add_argument("--eval-every", type=int, default=2 * M,
+                   help="deterministic-eval cadence (env steps); the "
+                        "best-scoring actor is checkpointed")
+    p.add_argument("--idx-init", type=int, default=20,
+                   help="eval episode start frame")
+    p.add_argument("--warm-start-lam", action="store_true")
+    p.add_argument("--mesh-subcapsules", type=int, default=1)
     args = p.parse_args(argv)
     print("Reason:", args.reason or "(none)")
     return args
@@ -41,7 +48,9 @@ def main(argv=None):
     from deepmimic_mujoco_tpu.envs import DPEnv
     from deepmimic_mujoco_tpu.rl.sac import SAC, SACConfig
 
-    env = DPEnv(motion=args.motion, robot=args.robot)
+    env = DPEnv(motion=args.motion, robot=args.robot,
+                warm_start_lam=args.warm_start_lam,
+                mesh_subcapsules=args.mesh_subcapsules)
     cfg = SACConfig(n_envs=args.n_envs, buffer_size=args.buffer,
                     batch_size=args.batch,
                     steps_per_iter=args.steps_per_iter,
@@ -65,25 +74,65 @@ def main(argv=None):
 
     per_iter = cfg.n_envs * cfg.steps_per_iter
 
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.rl import checkpoint
+
+    # deterministic eval episode (single dispatch; actor mean action),
+    # mirroring the PPO evaluator and the reference's gate replays
+    @jax.jit
+    def eval_episode(actor_params, key):
+        state0, obs0 = env.reset(key, idx_init=args.idx_init)
+
+        def body(carry, _):
+            state, obs, alive = carry
+            mean, _ = sac.actor.apply(actor_params, obs)
+            a = jnp.tanh(mean) * cfg.action_scale
+            nstate, out = env.step(state, a)
+            r = out.reward * alive.astype(out.reward.dtype)
+            nalive = alive & ~out.done
+            state = jax.tree.map(
+                lambda x, y: jnp.where(alive, x, y), nstate, state)
+            obs = jnp.where(alive, out.obs, obs)
+            return (state, obs, nalive), r
+
+        _, rews = jax.lax.scan(body, (state0, obs0, jnp.ones((), bool)),
+                               None, length=1000)
+        return rews.sum()
+
+    best = {"rew": float("-inf")}
+    eval_every_iters = max(args.eval_every // per_iter, 1)
+
     def callback(it, s, stats):
         r, closs, aloss, eps, epc, epl, alpha = stats
+        row = {
+            "global_step": (it + 1) * per_iter,
+            "mean_reward": float(r),
+            "ep_return": float(eps) / max(float(epc), 1.0),
+            "ep_length": float(epl) / max(float(epc), 1.0),
+            "critic_loss": float(closs), "actor_loss": float(aloss),
+            "alpha": float(alpha),
+        }
+        if (it + 1) % eval_every_iters == 0:
+            rew = float(eval_episode(s.actor, jax.random.PRNGKey(0)))
+            row["eval_ep_rew"] = rew
+            print(f"Eval: EP_REW {rew:.2f}", flush=True)
+            if rew > best["rew"]:
+                best["rew"] = rew
+                checkpoint.save_params(
+                    os.path.join(out_dir, run_name + "_best_actor"),
+                    s.actor)
         with open(metrics_path, "a") as f:
-            f.write(json.dumps({
-                "global_step": (it + 1) * per_iter,
-                "mean_reward": float(r),
-                "ep_return": float(eps) / max(float(epc), 1.0),
-                "ep_length": float(epl) / max(float(epc), 1.0),
-                "critic_loss": float(closs), "actor_loss": float(aloss),
-                "alpha": float(alpha),
-            }) + "\n")
+            f.write(json.dumps(row) + "\n")
 
     s = sac.train(total_timesteps=args.total, seed=args.seed,
                   callback=callback)
-    from deepmimic_mujoco_tpu.rl import checkpoint
 
     path = checkpoint.save_params(
         os.path.join(out_dir, run_name + "_actor"), s.actor)
     print("Saved actor params to", path)
+    print(f"Best eval ep_rew: {best['rew']:.2f}")
     return s
 
 
