@@ -35,8 +35,9 @@ def parse_args(argv=None):
                         "best-scoring actor is checkpointed")
     p.add_argument("--idx-init", type=int, default=20,
                    help="eval episode start frame")
-    p.add_argument("--warm-start-lam", action="store_true")
-    p.add_argument("--mesh-subcapsules", type=int, default=1)
+    p.add_argument("--warm-start-lam", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--mesh-subcapsules", type=int, default=None)
     args = p.parse_args(argv)
     print("Reason:", args.reason or "(none)")
     return args
@@ -48,9 +49,10 @@ def main(argv=None):
     from deepmimic_mujoco_tpu.envs import DPEnv
     from deepmimic_mujoco_tpu.rl.sac import SAC, SACConfig
 
-    env = DPEnv(motion=args.motion, robot=args.robot,
-                warm_start_lam=args.warm_start_lam,
-                mesh_subcapsules=args.mesh_subcapsules)
+    eng_kw = {k: v for k, v in dict(
+        warm_start_lam=args.warm_start_lam,
+        mesh_subcapsules=args.mesh_subcapsules).items() if v is not None}
+    env = DPEnv(motion=args.motion, robot=args.robot, **eng_kw)
     cfg = SACConfig(n_envs=args.n_envs, buffer_size=args.buffer,
                     batch_size=args.batch,
                     steps_per_iter=args.steps_per_iter,

@@ -87,12 +87,13 @@ def parse_reason(argv=None, required=True):
     # engine-semantics knobs (train new policies under flipped
     # defaults before committing a default change — trained policies
     # are sensitive to the 50-iteration partial solution they saw)
-    p.add_argument("--warm-start-lam", action="store_true",
+    p.add_argument("--warm-start-lam", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="carry solver forces across steps (engine "
-                        "warm start)")
-    p.add_argument("--mesh-subcapsules", type=int, default=1,
+                        "warm start); default = engine default")
+    p.add_argument("--mesh-subcapsules", type=int, default=None,
                    help="per-link capsule proxies for mesh "
-                        "self-collision (G1)")
+                        "self-collision (G1); default = engine default")
     p.add_argument("--rk4", action="store_true",
                    help="train under RK4 (reference MJCF integrator) "
                         "instead of semi-implicit Euler")
@@ -120,9 +121,10 @@ def main(argv=None):
     if args.rk4:
         from deepmimic_mujoco_tpu.models.physics_model import RK4
         integrator = RK4
-    eng_kw = dict(warm_start_lam=args.warm_start_lam,
-                  mesh_subcapsules=args.mesh_subcapsules,
-                  integrator=integrator)
+    eng_kw = {k: v for k, v in dict(
+        warm_start_lam=args.warm_start_lam,
+        mesh_subcapsules=args.mesh_subcapsules,
+        integrator=integrator).items() if v is not None}
     if args.env == "deep_mimic_mujoco":
         env = DPEnv(motion=args.motion, robot=args.robot,
                     speed=args.speed, **eng_kw)

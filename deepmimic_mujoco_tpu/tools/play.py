@@ -43,8 +43,9 @@ def main(argv=None):
     p.add_argument("--print-js", action="store_true",
                    help="print init qpos/qvel as JS arrays")
     p.add_argument("--log-actobs", action="store_true")
-    p.add_argument("--warm-start-lam", action="store_true")
-    p.add_argument("--mesh-subcapsules", type=int, default=1)
+    p.add_argument("--warm-start-lam", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--mesh-subcapsules", type=int, default=None)
     p.add_argument("--rk4", action="store_true")
     args = p.parse_args(argv)
 
@@ -57,10 +58,11 @@ def main(argv=None):
     if args.rk4:
         from deepmimic_mujoco_tpu.models.physics_model import RK4
         integrator = RK4
-    env = GymDPEnv(motion=args.motion, robot=args.robot,
-                   warm_start_lam=args.warm_start_lam,
-                   mesh_subcapsules=args.mesh_subcapsules,
-                   integrator=integrator)
+    eng_kw = {k: v for k, v in dict(
+        warm_start_lam=args.warm_start_lam,
+        mesh_subcapsules=args.mesh_subcapsules,
+        integrator=integrator).items() if v is not None}
+    env = GymDPEnv(motion=args.motion, robot=args.robot, **eng_kw)
     obs = env.reset_model(idx_init=args.idx_init)
 
     if args.print_js:
