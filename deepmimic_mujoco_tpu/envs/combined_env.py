@@ -82,8 +82,8 @@ class DPCombinedEnv:
                  max_contacts: int = 24,
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None,
-                 warm_start_lam: bool = False,
-                 mesh_subcapsules: int = 1):
+                 warm_start_lam: Optional[bool] = None,
+                 mesh_subcapsules: Optional[int] = None):
         # Training default: Euler (see DPEnv); RK4 available for parity.
         if integrator is None:
             from deepmimic_mujoco_tpu.models.physics_model import EULER
@@ -92,10 +92,12 @@ class DPCombinedEnv:
         self.robot = "unitree_g1"
         self.robot_config = RobotConfig(robot=self.robot)
         self.model = load_model(self.robot_config.xml_path)
+        eng_kw = {k: v for k, v in dict(
+            warm_start_lam=warm_start_lam,
+            mesh_subcapsules=mesh_subcapsules).items() if v is not None}
         self.engine = Engine(self.model, max_contacts=max_contacts,
                              iterations=iterations, integrator=integrator,
-                             warm_start_lam=warm_start_lam,
-                             mesh_subcapsules=mesh_subcapsules)
+                             **eng_kw)
         self.spec = RobotSpec.build(self.model, self.robot_config)
         self.reward_tables = reward_lib.make_reward_tables(self.model, self.spec)
         self.getup_timeout_to_walk = getup_timeout_to_walk

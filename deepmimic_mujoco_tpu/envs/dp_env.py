@@ -97,8 +97,8 @@ class DPEnv:
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None,
                  speed: float = 1.0,
-                 warm_start_lam: bool = False,
-                 mesh_subcapsules: int = 1):
+                 warm_start_lam: Optional[bool] = None,
+                 mesh_subcapsules: Optional[int] = None):
         # Training default: semi-implicit Euler with implicit joint
         # damping (1 forward/step). The reference's MJCF requests RK4
         # (4 forwards); pass integrator=RK4 for strict parity runs.
@@ -114,10 +114,12 @@ class DPEnv:
             # humanoid3d peaks at ~11 (falls), G1 at ~23 (prone getup);
             # solver cost scales with (3*max_contacts + nlimit)^2
             max_contacts = 16 if robot == "humanoid3d" else 24
+        eng_kw = {k: v for k, v in dict(
+            warm_start_lam=warm_start_lam,
+            mesh_subcapsules=mesh_subcapsules).items() if v is not None}
         self.engine = Engine(self.model, max_contacts=max_contacts,
                              iterations=iterations, integrator=integrator,
-                             warm_start_lam=warm_start_lam,
-                             mesh_subcapsules=mesh_subcapsules)
+                             **eng_kw)
         self.spec = RobotSpec.build(self.model, self.robot_config)
         self.reward_tables = reward_lib.make_reward_tables(self.model, self.spec)
 

@@ -59,8 +59,8 @@ class Engine:
     def __init__(self, model: PhysicsModel, max_contacts: int = 24,
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None,
-                 warm_start_lam: bool = False,
-                 mesh_subcapsules: int = 1):
+                 warm_start_lam: bool = True,
+                 mesh_subcapsules: int = 2):
         self.m = model
         self.max_contacts = max_contacts
         self.iterations = iterations if iterations is not None \
@@ -68,9 +68,10 @@ class Engine:
         self.integrator = integrator if integrator is not None \
             else model.opt.integrator
         self.dt = model.opt.timestep
-        # mesh_subcapsules > 1: tighter per-segment proxies for
-        # mesh-mesh self-collision (collapse poses); opt-in because it
-        # changes contact dynamics for trained policies
+        # mesh_subcapsules > 1 (default 2 since round 3): tighter
+        # per-segment proxies for mesh-mesh self-collision (collapse
+        # poses); the committed gate policies are trained against the
+        # default — pass 1 to reproduce round-1/2 dynamics
         self.tables = build_pair_tables(model, mesh_subcapsules)
         if any(g.is_proxy.any() for g in self.tables):
             from deepmimic_mujoco_tpu.physics.collision import (
@@ -87,8 +88,9 @@ class Engine:
         # Warm-starting the constraint solve from the previous step's
         # forces measurably shifts the 50-iteration partial solution
         # (policies trained on cold starts drop from reward 339 to 27
-        # on the walk gate), so it is opt-in until policies are trained
-        # against it end-to-end.
+        # on the walk gate). Default ON since round 3: the committed
+        # gate policies are trained against it end-to-end; pass False
+        # to reproduce round-1/2 cold-start dynamics.
         self.warm_start_lam = warm_start_lam
 
     # ---- stages -------------------------------------------------------

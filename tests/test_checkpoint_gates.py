@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from deepmimic_mujoco_tpu.envs import DPEnv
+from deepmimic_mujoco_tpu.models.physics_model import RK4
 from deepmimic_mujoco_tpu.rl import networks
 from deepmimic_mujoco_tpu.rl.checkpoint import restore_params
 
@@ -25,15 +26,24 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 GATES = [
     # (checkpoint dir, motion, robot, idx_init, min reward, env kwargs)
-    ("runs/walk_test20260816-1420_50_videos/walk_test20260816-1420_50_best",
-     "walk", "unitree_g1", 20, 90.0, {}),
-    ("runs/walk_final_params", "walk", "humanoid3d", 20, 90.0, {}),
+    # Round-3 new-DEFAULT-semantics policies (warm-started solver
+    # lambda + G1 mesh sub-capsules): empty kwargs = engine defaults.
+    ("runs/walk_test20260817-1649_40_videos/walk_test20260817-1649_40_best",
+     "walk", "humanoid3d", 20, 90.0, {}),       # replay 615.6
+    ("runs/walk_test20260817-1741_21_videos/walk_test20260817-1741_21_best",
+     "walk", "unitree_g1", 20, 90.0, {}),       # replay 324.3
+    # Trained AND gated under the reference MJCF integrator (RK4):
+    # certifies reference-semantics dynamics, not just Euler
+    # self-consistency.
+    ("runs/walk_test20260817-1918_14_videos/walk_test20260817-1918_14_best",
+     "walk", "humanoid3d", 20, 90.0, {"integrator": RK4}),  # 655.2
     # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50):
-    # trained via the alive+velmatch shaping curriculum then five
-    # pure-reward continuations with the adaptive-lr KL controller
-    # (620M steps total); scores 116.39 at commit time.
+    # round-2 checkpoint (116.39 at commit), pinned to the round-1/2
+    # engine semantics it was trained under while the new-semantics
+    # rebuild trains.
     ("runs/run_test20260817-0507_52_videos/run_test20260817-0507_52_best",
-     "run", "unitree_g1", 20, 90.0, {}),
+     "run", "unitree_g1", 20, 90.0,
+     {"warm_start_lam": False, "mesh_subcapsules": 1}),
 ]
 
 
