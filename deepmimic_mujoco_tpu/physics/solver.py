@@ -188,7 +188,7 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
             M_hat, cd_lin, cd_ang, contacts.frame, rpos, w, sign_l,
             qfrc_smooth, aref, imp, activef, mu, lam0_k,
             K=K, L=L, ld_idx=tuple(int(i) for i in ld_idx),
-            iterations=iterations)
+            iterations=iterations, interpret=_FUSED_INTERPRET)
         return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
     # ---- unified J: contact rows + materialized +-unit limit rows ----
@@ -230,15 +230,21 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
     return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
 
+_FUSED_INTERPRET = False  # tests: run the kernel in interpret mode
+
+
 def _use_fused() -> bool:
     """Default TPU path: the fused mass-matrix + constraint-solve
     Pallas kernel (ops/fused_solve.py). DM_TPU_FUSED_SOLVE=0 falls
     back to the XLA chain (always used on CPU, where the two paths
-    are parity-tested against each other)."""
+    are parity-tested against each other — including end-to-end via
+    the _FUSED_INTERPRET test hook)."""
     import os
 
     import jax
 
+    if _FUSED_INTERPRET:
+        return True
     return (os.environ.get("DM_TPU_FUSED_SOLVE") != "0"
             and jax.default_backend() in ("tpu", "axon"))
 

@@ -146,3 +146,37 @@ def test_fused_parts_matches_explicit_j():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1.0)
         assert np.abs(a - b).max() / scale < 2e-4, name
+
+
+def test_env_step_kernel_vs_fallback_end_to_end():
+    """Full DPEnv.step parity: fused kernel (interpret) vs XLA
+    fallback on a REAL G1 contact state. Catches interface bugs
+    between solver.py's parts extraction and the kernel (sign
+    conventions, limit-row indexing) that synthetic-parts tests
+    replicate by construction."""
+    from deepmimic_mujoco_tpu.envs import DPEnv
+    from deepmimic_mujoco_tpu.physics import solver
+
+    env = DPEnv(motion="getup_facedown_slow_FSI", robot="unitree_g1",
+                iterations=15)
+    s, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    a = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                (env.action_size,), jnp.float32)
+
+    def two_steps():
+        s1, o1 = env.step(s, a)
+        s2, o2 = env.step(s1, a)
+        return s2.qpos, s2.qvel, o2.reward
+
+    ref = jax.jit(two_steps)()
+    solver._FUSED_INTERPRET = True
+    try:
+        got = jax.jit(two_steps)()
+    finally:
+        solver._FUSED_INTERPRET = False
+
+    for name, x, y in zip(("qpos", "qvel", "reward"), ref, got):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = max(np.abs(x).max(), 1.0)
+        assert np.abs(x - y).max() / scale < 5e-3, (
+            f"{name}: max diff {np.abs(x - y).max():.2e}")
