@@ -4,8 +4,16 @@ Warm-starts the state machine by force-tracking the current motion for
 the first N steps, then hands control to a policy (checkpoint params)
 or small random actions; prints transitions and the episode reward.
 
+Robustness probe (VERDICT r2 item 3): ``--inject-fall-every N``
+force-sets a facedown pose every N steps (only while the policy is in
+locomotion with amnesty earned), driving the fallen -> to_getup ->
+getup -> walk|run state-machine path; completed recovery cycles are
+counted and printed, and ``--assert-cycles K`` turns the run into a
+regression gate.
+
 Usage: python -m deepmimic_mujoco_tpu.tools.play_combined
            [--checkpoint params_dir] [--steps 2000] [--video out.mp4]
+           [--inject-fall-every 400] [--assert-cycles 2]
 """
 from __future__ import annotations
 
@@ -21,13 +29,19 @@ def main(argv=None):
     p.add_argument("--warmstart", type=int, default=500)
     p.add_argument("--video", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--inject-fall-every", type=int, default=0,
+                   help="force a facedown pose every N steps (0 = off)")
+    p.add_argument("--assert-cycles", type=int, default=0,
+                   help="require >= K completed fall->getup->locomotion "
+                        "recovery cycles")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
     from deepmimic_mujoco_tpu.envs import DPCombinedEnv
-    from deepmimic_mujoco_tpu.envs.combined_env import MOTION_NAMES
+    from deepmimic_mujoco_tpu.envs.combined_env import (
+        GETUP, MOTION_NAMES, RUN, TO_GETUP, WALK)
 
     env = DPCombinedEnv()
     if args.checkpoint:
@@ -48,13 +62,25 @@ def main(argv=None):
     step = jax.jit(env.step)
     step_force = jax.jit(lambda s, a, q, v: env.step(s, a, force_state=(q, v)))
     state, obs = jax.jit(env.reset)(jax.random.PRNGKey(args.seed))
+    # Facedown pose for fall injection: getup clip frame 0, zero vel.
+    fall_qpos = env.mocap_qpos[GETUP, 0]
+    fall_qvel = jnp.zeros_like(env.mocap_qvel[GETUP, 0])
     ep_rew = 0.0
     frames = []
+    cycles = 0          # completed to_getup -> getup -> walk|run paths
+    saw_to_getup = False
     last_motion = int(state.motion_id)
     print("start motion:", MOTION_NAMES[last_motion])
     for i in range(args.steps):
         a = jnp.asarray(policy(np.asarray(obs), rng))
-        if i < args.warmstart:
+        inject = (args.inject_fall_every and i >= args.warmstart
+                  and i % args.inject_fall_every == 0
+                  and int(state.motion_id) in (WALK, RUN)
+                  and int(state.n_steps) > env.ENV_CFG.AMNESTY_STEPS)
+        if inject:
+            print(f"step {i}: injecting fall (facedown force-state)")
+            state, out = step_force(state, a, fall_qpos, fall_qvel)
+        elif i < args.warmstart:
             q, v = env.get_current_motion_state(state)
             state, out = step_force(state, a, q, v)
         else:
@@ -64,6 +90,12 @@ def main(argv=None):
         mid = int(state.motion_id)
         if mid != last_motion:
             print(f"step {i}: changing to motion: {MOTION_NAMES[mid]}")
+            if mid == TO_GETUP:
+                saw_to_getup = True
+            elif mid in (WALK, RUN) and last_motion == GETUP and saw_to_getup:
+                cycles += 1
+                saw_to_getup = False
+                print(f"step {i}: recovery cycle #{cycles} complete")
             last_motion = mid
         if args.video and i % 4 == 0:
             from deepmimic_mujoco_tpu.tools.render import render_state
@@ -74,12 +106,16 @@ def main(argv=None):
         if bool(out.done):
             print("done at", i, "reason code", int(out.done_reason))
             break
-    print(f"Episode reward: {ep_rew:.2f}")
+    print(f"Episode reward: {ep_rew:.2f}  recovery cycles: {cycles}")
     if args.video and frames:
         from deepmimic_mujoco_tpu.tools.render import frames_to_video
 
         print("Saved", frames_to_video(frames, args.video))
-    return ep_rew
+    if args.assert_cycles:
+        assert cycles >= args.assert_cycles, (
+            f"combined robustness gate: {cycles} < {args.assert_cycles} "
+            "recovery cycles")
+    return ep_rew, cycles
 
 
 if __name__ == "__main__":
