@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main(argv=None):
+    """Returns ``(ep_rew, cycles)`` — episode reward and completed
+    recovery-cycle count (a tuple since the --assert-cycles probe)."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--steps", type=int, default=2000)
@@ -69,15 +71,24 @@ def main(argv=None):
     frames = []
     cycles = 0          # completed to_getup -> getup -> walk|run paths
     saw_to_getup = False
+    inject_armed = False
     last_motion = int(state.motion_id)
     print("start motion:", MOTION_NAMES[last_motion])
     for i in range(args.steps):
         a = jnp.asarray(policy(np.asarray(obs), rng))
-        inject = (args.inject_fall_every and i >= args.warmstart
-                  and i % args.inject_fall_every == 0
+        # Arm on the schedule tick; fire at the first step the robot is
+        # actually in locomotion with amnesty earned — a tick that lands
+        # mid-recovery is deferred, not dropped (an N small relative to
+        # AMNESTY_STEPS + getup duration would otherwise silently skip
+        # injections and fail --assert-cycles for scheduling reasons).
+        if (args.inject_fall_every and i >= args.warmstart
+                and i % args.inject_fall_every == 0):
+            inject_armed = True
+        inject = (inject_armed
                   and int(state.motion_id) in (WALK, RUN)
                   and int(state.n_steps) > env.ENV_CFG.AMNESTY_STEPS)
         if inject:
+            inject_armed = False
             print(f"step {i}: injecting fall (facedown force-state)")
             state, out = step_force(state, a, fall_qpos, fall_qvel)
         elif i < args.warmstart:
@@ -111,8 +122,9 @@ def main(argv=None):
         from deepmimic_mujoco_tpu.tools.render import frames_to_video
 
         print("Saved", frames_to_video(frames, args.video))
-    if args.assert_cycles:
-        assert cycles >= args.assert_cycles, (
+    if args.assert_cycles and cycles < args.assert_cycles:
+        # SystemExit, not assert: the gate must survive python -O
+        raise SystemExit(
             f"combined robustness gate: {cycles} < {args.assert_cycles} "
             "recovery cycles")
     return ep_rew, cycles
