@@ -249,7 +249,7 @@ def _solve_lanes(M_lanes, JT_lanes, qf, aref, imp, active, mu, lam0,
     vec_spec = lambda r: pl.BlockSpec((r, E), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
     if manual_dma:
-        mat_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        mat_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
         scratch = [
             pltpu.VMEM((nv_p, nv_p, E), f32),
             pltpu.VMEM((nv_p, n_p, E), f32),
