@@ -100,10 +100,67 @@ def bench_train(n_envs, horizon, n_iters=4):
     return n_envs * horizon * n_iters / dt, compile_s
 
 
+def bench_mesh_scaling(n_devices, n_envs, n_steps):
+    """Env-step throughput with the env batch sharded over an
+    ``n_devices`` mesh (correctness/scaling probe: real numbers arrive
+    with real multi-chip hardware; on one chip this measures sharding
+    overhead ~= 0, on a CPU mesh it validates the collective path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.envs import DPEnv
+    from deepmimic_mujoco_tpu.parallel import data_sharding, make_mesh
+
+    env = DPEnv(motion="walk", robot="humanoid3d")
+    mesh = make_mesh(n_devices)
+    sh = data_sharding(mesh)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_envs)
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
+    obs = jax.device_put(obs, sh)
+
+    def rollout(states, obs, key):
+        def body(carry, _):
+            states, obs, key = carry
+            key, sub = jax.random.split(key)
+            actions = 0.1 * jax.random.normal(
+                sub, (n_envs, env.action_size), jnp.float32)
+            states, out = jax.vmap(env.step_auto_reset)(states, actions)
+            return (states, out.obs, key), out.reward.mean()
+
+        carry, rews = jax.lax.scan(body, (states, obs, key), None,
+                                   length=n_steps)
+        return rews.mean()
+
+    with mesh:
+        run = jax.jit(rollout)
+        dt, compile_s = _bench(run, states, obs, jax.random.PRNGKey(2))
+    return n_envs * n_steps / dt, compile_s
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n_envs = int(os.environ.get("BENCH_ENVS", "64" if small else "4096"))
     n_steps = int(os.environ.get("BENCH_STEPS", "16" if small else "256"))
+
+    if "--mesh" in __import__("sys").argv:
+        import sys
+
+        import jax
+
+        n_req = int(sys.argv[sys.argv.index("--mesh") + 1])
+        n_dev = min(n_req, len(jax.devices()))
+        device = str(jax.devices()[0])
+        for nd in sorted({1, n_dev}):
+            sps, comp = bench_mesh_scaling(nd, n_envs, n_steps)
+            print(json.dumps({
+                "metric": f"env_steps_per_sec_mesh{nd}_humanoid3d_walk",
+                "value": round(float(sps), 1), "unit": "env-steps/s",
+                "vs_baseline": round(float(sps) / REFERENCE_STEPS_PER_SEC, 2),
+                "n_envs": n_envs, "n_devices": nd,
+                "compile_seconds": round(comp, 1),
+                "device": device}), flush=True)
+        return
 
     import jax
 
