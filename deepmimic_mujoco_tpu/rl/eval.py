@@ -110,7 +110,14 @@ def eval_dashboard_rollout(ppo, params, n: int, run_name: str,
     from deepmimic_mujoco_tpu.rl import checkpoint
     from deepmimic_mujoco_tpu.tools.render import frames_to_video, render_state
 
-    tr = eval_rollout(ppo, params, max_steps=max_steps)
+    # Acyclic (getup) clips: evaluate from frame 0 like the reference's
+    # play scripts (src/play_g1_facedown_slow_pretty_totem.py:26-27) —
+    # an RSI eval start lands mid-clip, truncates at the acyclic end,
+    # and wildly underreports (observed: the round-3 getup run's best
+    # checkpoint scored 9.7 under RSI eval but 58.5 from frame 0).
+    # Cyclic motions keep RSI starts (frame 0 is never trained from).
+    idx0 = 0 if getattr(ppo.env, "is_acyclical", False) else None
+    tr = eval_rollout(ppo, params, max_steps=max_steps, idx_init=idx0)
     video_dir = os.path.expanduser(os.path.join(out_dir, run_name + "_videos"))
     os.makedirs(video_dir, exist_ok=True)
 

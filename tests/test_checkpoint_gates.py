@@ -44,6 +44,15 @@ GATES = [
     ("runs/run_test20260817-0507_52_videos/run_test20260817-0507_52_best",
      "run", "unitree_g1", 20, 90.0,
      {"warm_start_lam": False, "mesh_subcapsules": 1}),
+    # G1 facedown getup — the third behavior the reference demonstrates
+    # from a committed checkpoint ("PRETTY TOTEM 70",
+    # src/play_g1_facedown_slow_pretty_totem.py:9-28, idx_init=0).
+    # Round-3 checkpoint replays 58.5 from frame 0 under the default
+    # engine semantics (the round-3 log's "eval 9.7" was an RSI-start
+    # eval artifact — see tools/diag_getup.py).
+    ("runs/getup_facedown_slow_FSI_test20260819-1115_59_videos/"
+     "getup_facedown_slow_FSI_test20260819-1115_59_best",
+     "getup_facedown_slow_FSI", "unitree_g1", 0, 40.0, {}),
 ]
 
 
