@@ -156,7 +156,7 @@ class DPEnv:
         z = jnp.zeros(self.model.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=z, qfrc_smooth=z, qfrc_constraint=z,
-                          lam=jnp.zeros(self.engine.n_constraint_rows,
+                          lam=jnp.zeros(self.engine.n_warm_rows,
                                         qpos.dtype))
 
     def _obs(self, data, qpos, qvel, idx_curr):
@@ -187,7 +187,7 @@ class DPEnv:
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32),
             key=key,
-            lam=jnp.zeros(self.engine.n_constraint_rows, jnp.float32))
+            lam=jnp.zeros(self.engine.n_warm_rows, jnp.float32))
         data = self._kinematic_data(qpos, qvel)
         return state, self._obs(data, qpos, qvel, state.idx_curr)
 
@@ -283,7 +283,7 @@ class DPEnv:
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32),
             key=key,
-            lam=jnp.zeros(self.engine.n_constraint_rows, jnp.float32))
+            lam=jnp.zeros(self.engine.n_warm_rows, jnp.float32))
         picked = jax.tree.map(
             lambda a, b: jnp.where(out.done, a, b), reset_state,
             new_state._replace(key=key))

@@ -64,6 +64,15 @@ class Contacts(NamedTuple):
     #                        slot saturation changes dynamics; this
     #                        makes it observable (see envs exposing it
     #                        via info/metrics).
+    sel: jnp.ndarray = None  # (ncon, n_pair_slots) one-hot selection
+    #                          matrix mapping compacted slots back to
+    #                          their static pair-slot identity; used by
+    #                          the engine's PAIR-KEYED solver warm start
+    #                          (top-K reorders slots by depth every
+    #                          step, so slot-indexed forces would be
+    #                          applied to the wrong contact whenever
+    #                          depth order churns — e.g. G1 run flight
+    #                          phases).
 
 
 class PairGroup(NamedTuple):
@@ -800,6 +809,7 @@ def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
         solimp=sel @ jnp.asarray(cat("solimp"), dtype),
         condim=int_sel("condim"),
         overflow=overflow,
+        sel=sel,
     )
 
 

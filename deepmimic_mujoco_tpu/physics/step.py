@@ -85,6 +85,19 @@ class Engine:
         self.limit_table = dynamics.limited_hinge_table(model)
         self.n_constraint_rows = (3 * self.max_contacts
                                   + len(self.limit_table[0]))
+        # Warm-start forces are carried in PAIR-SLOT space (one row per
+        # static candidate contact), not compacted-slot space: top-K
+        # compaction orders slots by depth, so a slot's identity churns
+        # whenever relative depths reorder (every flight phase of a run
+        # gait) and slot-indexed forces would warm-start the WRONG
+        # contact. Pair-keyed carry makes the warm start follow the
+        # physical contact — the ordering-invariance MuJoCo gets from
+        # warm-starting in joint space (qacc_warmstart).
+        from deepmimic_mujoco_tpu.physics.collision import total_slots
+
+        self.n_pair_slots = total_slots(self.tables)
+        self.n_warm_rows = (3 * self.n_pair_slots
+                            + len(self.limit_table[0]))
         # Warm-starting the constraint solve from the previous step's
         # forces measurably shifts the 50-iteration partial solution
         # (policies trained on cold starts drop from reward 339 to 27
@@ -108,11 +121,15 @@ class Engine:
         damping)`` (the engine's Euler-integrator implicit damping);
         the damping force itself is always applied explicitly.
         ``lam0`` warm-starts the constraint solve from the previous
-        step's forces (carried in env state; frame-coherent because
-        contact slots are selected in a stable order).
+        step's forces in PAIR-SLOT space (``n_warm_rows``; carried in
+        env state); it is gathered onto this step's compacted slots via
+        the collision selection matrix so a persisting contact keeps
+        its force regardless of how top-K reorders the slots.
         """
         m = self.m
         kin, com, contacts = self.position_stage(qpos)
+        if lam0 is not None:
+            lam0 = self._gather_warm(contacts.sel, lam0)
         cvel, cdof_dot = com_vel(m, com, qvel)
 
         M = dynamics.crb(m, com)
@@ -148,7 +165,22 @@ class Engine:
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=res.qacc, qfrc_smooth=qfrc_smooth,
                           qfrc_constraint=res.qfrc_constraint,
-                          lam=res.lam)
+                          lam=self._scatter_warm(contacts.sel, res.lam))
+
+    # ---- pair-keyed warm start ------------------------------------------
+    # The carried lam lives in pair-slot space, layout
+    # [normal(n_pair_slots), t1(n_pair_slots), t2(n_pair_slots),
+    #  limits(L)]; the solver's compact lam is
+    # [normal(K), t1(K), t2(K), limits(L)] over this step's top-K slots.
+    def _gather_warm(self, sel, lam_pairs):
+        ns = self.n_pair_slots
+        parts = [sel @ lam_pairs[i * ns:(i + 1) * ns] for i in range(3)]
+        return jnp.concatenate(parts + [lam_pairs[3 * ns:]])
+
+    def _scatter_warm(self, sel, lam):
+        K = sel.shape[0]
+        parts = [sel.T @ lam[i * K:(i + 1) * K] for i in range(3)]
+        return jnp.concatenate(parts + [lam[3 * K:]])
 
     # ---- integration ---------------------------------------------------
     def integrate_pos(self, qpos, qvel, h):
@@ -223,4 +255,4 @@ class Engine:
         z = jnp.zeros(self.m.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=z, qfrc_smooth=z, qfrc_constraint=z,
-                          lam=jnp.zeros(self.n_constraint_rows, qpos.dtype))
+                          lam=jnp.zeros(self.n_warm_rows, qpos.dtype))
