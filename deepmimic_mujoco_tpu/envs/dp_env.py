@@ -98,7 +98,8 @@ class DPEnv:
                  integrator: Optional[int] = None,
                  speed: float = 1.0,
                  warm_start_lam: Optional[bool] = None,
-                 mesh_subcapsules: Optional[int] = None):
+                 mesh_subcapsules: Optional[int] = None,
+                 cone: Optional[str] = None):
         # Training default: semi-implicit Euler with implicit joint
         # damping (1 forward/step). The reference's MJCF requests RK4
         # (4 forwards); pass integrator=RK4 for strict parity runs.
@@ -116,7 +117,8 @@ class DPEnv:
             max_contacts = 16 if robot == "humanoid3d" else 24
         eng_kw = {k: v for k, v in dict(
             warm_start_lam=warm_start_lam,
-            mesh_subcapsules=mesh_subcapsules).items() if v is not None}
+            mesh_subcapsules=mesh_subcapsules,
+            cone=cone).items() if v is not None}
         self.engine = Engine(self.model, max_contacts=max_contacts,
                              iterations=iterations, integrator=integrator,
                              **eng_kw)

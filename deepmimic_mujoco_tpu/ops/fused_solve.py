@@ -67,7 +67,7 @@ def _round_up(x, m):
 def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
                   mu_ref, lam0_ref, qacc_ref, qfrc_ref, lam_ref,
                   *scratch, nv, nv_p, n_p, K, L, iterations,
-                  manual_dma):
+                  manual_dma, pyramidal=False):
     f32 = jnp.float32
     E = qf_ref.shape[-1]
 
@@ -186,12 +186,16 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
         nrm = jnp.maximum(lam[0:K], 0.0)             # (K, E)
         t1 = lam[K:2 * K]
         t2 = lam[2 * K:3 * K]
-        tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
         lim = mu[:K] * nrm
-        scale = jnp.where(tn > lim, lim / tn, 1.0)
+        if pyramidal:  # tangent-aligned 4-edge pyramid (mujoco200 PGS)
+            t1s, t2s = (jnp.clip(t1, -lim, lim), jnp.clip(t2, -lim, lim))
+        else:
+            tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
+            scale = jnp.where(tn > lim, lim / tn, 1.0)
+            t1s, t2s = t1 * scale, t2 * scale
         rest = jnp.maximum(lam[3 * K:], 0.0)         # limits + pad
         return jnp.concatenate(
-            [nrm, t1 * scale, t2 * scale, rest], axis=0) * active
+            [nrm, t1s, t2s, rest], axis=0) * active
 
     def sweep(_, lam):
         grad = matvec(lam) + b
@@ -208,7 +212,8 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
 
 
 def _solve_lanes(M_lanes, JT_lanes, qf, aref, imp, active, mu, lam0,
-                 *, nv, n, K, L, iterations, interpret=False):
+                 *, nv, n, K, L, iterations, pyramidal=False,
+                 interpret=False):
     """Core pallas dispatch over env-in-lanes operands.
 
     M_lanes (nv_p, nv_p, B_pad) with unit padded diagonal, JT_lanes
@@ -245,7 +250,8 @@ def _solve_lanes(M_lanes, JT_lanes, qf, aref, imp, active, mu, lam0,
     manual_dma = est > 13 * 1024 * 1024
     kernel = functools.partial(
         _fused_kernel, nv=nv, nv_p=nv_p, n_p=n_p, K=K, L=L,
-        iterations=iterations, manual_dma=manual_dma)
+        iterations=iterations, manual_dma=manual_dma,
+        pyramidal=pyramidal)
     vec_spec = lambda r: pl.BlockSpec((r, E), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
     if manual_dma:
@@ -293,7 +299,7 @@ def _m_to_lanes(M, nv, nv_p, B_pad):
 
 
 def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
-                   iterations, interpret=False):
+                   iterations, pyramidal=False, interpret=False):
     """Batched entry from an explicit per-env J (B, n, nv)."""
     B, n, nv = J.shape
     nv_p = _round_up(nv, 8)
@@ -303,12 +309,13 @@ def _fused_batched(M, J, qf, aref, imp, active, mu, lam0, *, K, L,
     return _solve_lanes(
         _m_to_lanes(M, nv, nv_p, B_pad), jnp.transpose(JT_p, (2, 1, 0)),
         qf, aref, imp, active, mu, lam0,
-        nv=nv, n=n, K=K, L=L, iterations=iterations, interpret=interpret)
+        nv=nv, n=n, K=K, L=L, iterations=iterations,
+        pyramidal=pyramidal, interpret=interpret)
 
 
 def _fused_batched_parts(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf,
                          aref, imp, active, mu, lam0, *, K, L, ld_idx,
-                         iterations, interpret=False):
+                         iterations, pyramidal=False, interpret=False):
     """Batched entry that BUILDS J^T directly in the kernel's
     env-in-lanes layout from contact-Jacobian parts — the per-env
     (B, n, nv) J, its concat with limit rows, and the 3D transpose
@@ -342,11 +349,13 @@ def _fused_batched_parts(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf,
     return _solve_lanes(
         _m_to_lanes(M, nv, nv_p, B_pad), JT,
         qf, aref, imp, active, mu, lam0,
-        nv=nv, n=n, K=K, L=L, iterations=iterations, interpret=interpret)
+        nv=nv, n=n, K=K, L=L, iterations=iterations,
+        pyramidal=pyramidal, interpret=interpret)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_parts(K, L, ld_idx, iterations, interpret=False):
+def _make_fused_parts(K, L, ld_idx, iterations, pyramidal=False,
+                      interpret=False):
     @jax.custom_batching.custom_vmap
     def fused(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf, aref, imp,
               active, mu, lam0):
@@ -355,7 +364,7 @@ def _make_fused_parts(K, L, ld_idx, iterations, interpret=False):
                                 sign_l, qf, aref, imp, active, mu,
                                 lam0)],
             K=K, L=L, ld_idx=ld_idx, iterations=iterations,
-            interpret=interpret)
+            pyramidal=pyramidal, interpret=interpret)
         return tuple(o[0] for o in out)
 
     @fused.def_vmap
@@ -364,6 +373,7 @@ def _make_fused_parts(K, L, ld_idx, iterations, interpret=False):
                for x, bt in zip(ops, in_batched)]
         out = _fused_batched_parts(*ops, K=K, L=L, ld_idx=ld_idx,
                                    iterations=iterations,
+                                   pyramidal=pyramidal,
                                    interpret=interpret)
         return out, (True, True, True)
 
@@ -374,6 +384,7 @@ def fused_solve_parts_single(M, cd_lin, cd_ang, frame, rpos, w, sign_l,
                              qf_smooth, aref, imp, active, mu,
                              lam0=None, *, K: int, L: int,
                              ld_idx: tuple, iterations: int,
+                             pyramidal: bool = False,
                              interpret: bool = False):
     """Fused solve fed by contact-Jacobian PARTS (per-env J is never
     materialized); under vmap the J^T build lands directly in the
@@ -381,19 +392,21 @@ def fused_solve_parts_single(M, cd_lin, cd_ang, frame, rpos, w, sign_l,
     limited dof indices (the limit rows' +-e_dof columns)."""
     if lam0 is None:
         lam0 = jnp.zeros_like(aref)
-    fn = _make_fused_parts(K, L, tuple(ld_idx), iterations, interpret)
+    fn = _make_fused_parts(K, L, tuple(ld_idx), iterations, pyramidal,
+                           interpret)
     return fn(M, cd_lin, cd_ang, frame, rpos, w, sign_l, qf_smooth,
               aref, imp, active, mu, lam0)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(K, L, iterations, interpret=False):
+def _make_fused(K, L, iterations, pyramidal=False, interpret=False):
     @jax.custom_batching.custom_vmap
     def fused(M, J, qf, aref, imp, active, mu, lam0):
         qacc, qfrc, lam = _fused_batched(
             M[None], J[None], qf[None], aref[None], imp[None],
             active[None], mu[None], lam0[None], K=K, L=L,
-            iterations=iterations, interpret=interpret)
+            iterations=iterations, pyramidal=pyramidal,
+            interpret=interpret)
         return qacc[0], qfrc[0], lam[0]
 
     @fused.def_vmap
@@ -401,7 +414,7 @@ def _make_fused(K, L, iterations, interpret=False):
         ops = [x if bt else jnp.broadcast_to(x, (axis_size,) + x.shape)
                for x, bt in zip(ops, in_batched)]
         out = _fused_batched(*ops, K=K, L=L, iterations=iterations,
-                             interpret=interpret)
+                             pyramidal=pyramidal, interpret=interpret)
         return out, (True, True, True)
 
     return fused
@@ -409,6 +422,7 @@ def _make_fused(K, L, iterations, interpret=False):
 
 def fused_solve_single(M, J, qf_smooth, aref, imp, active, mu,
                        lam0=None, *, K: int, L: int, iterations: int,
+                       pyramidal: bool = False,
                        interpret: bool = False):
     """One env's fused mass-matrix + constraint solve; under vmap,
     dispatches to the blocked batch kernel. Returns
@@ -416,5 +430,5 @@ def fused_solve_single(M, J, qf_smooth, aref, imp, active, mu,
     physics/solver.py's fallback path."""
     if lam0 is None:
         lam0 = jnp.zeros_like(aref)
-    fn = _make_fused(K, L, iterations, interpret)
+    fn = _make_fused(K, L, iterations, pyramidal, interpret)
     return fn(M, J, qf_smooth, aref, imp, active, mu, lam0)

@@ -107,7 +107,7 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
                       body_dof: np.ndarray, limit_table,
                       iterations: int = 50,
                       relaxation: float = 0.15,
-                      lam0=None) -> SolveResult:
+                      lam0=None, cone: str = "elliptic") -> SolveResult:
     """``M_hat`` is the (possibly implicit-damping-augmented) mass
     matrix; the inverse-mass solve happens INSIDE this function so the
     TPU path can fuse it with the constraint solve in one Pallas
@@ -188,7 +188,8 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
             M_hat, cd_lin, cd_ang, contacts.frame, rpos, w, sign_l,
             qfrc_smooth, aref, imp, activef, mu, lam0_k,
             K=K, L=L, ld_idx=tuple(int(i) for i in ld_idx),
-            iterations=iterations, interpret=_FUSED_INTERPRET)
+            iterations=iterations, pyramidal=(cone == "pyramidal"),
+            interpret=_FUSED_INTERPRET)
         return SolveResult(qacc=qacc, qfrc_constraint=qfrc, lam=lam)
 
     # ---- unified J: contact rows + materialized +-unit limit rows ----
@@ -222,7 +223,8 @@ def solve_constraints(m: PhysicsModel, com: Com, M_hat: jnp.ndarray,
 
     lam = _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef,
                        K=K, L=L, iterations=iterations,
-                       relaxation=relaxation, lam0=lam0)
+                       relaxation=relaxation, lam0=lam0,
+                       pyramidal=(cone == "pyramidal"))
 
     # qfrc = J^T lam over the unified J (limit rows included)
     qfrc = J.T @ lam
@@ -250,7 +252,7 @@ def _use_fused() -> bool:
 
 
 def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
-                 iterations, relaxation, lam0=None):
+                 iterations, relaxation, lam0=None, pyramidal=False):
     """Pure-XLA iteration (CPU tests, interpretability; the TPU default
     is the fused Pallas kernel dispatched in solve_constraints). An
     earlier standalone Pallas PGS kernel that took pre-built A as input
@@ -288,10 +290,17 @@ def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
         n = jnp.maximum(lam[:K], 0.0)
         t1 = lam[K:2 * K]
         t2 = lam[2 * K:3 * K]
-        tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
         lim = mu * n
-        scale = jnp.where(tn > lim, lim / tn, 1.0)
-        parts = [n, t1 * scale, t2 * scale]
+        if pyramidal:
+            # axis-aligned box = the tangent-frame-aligned 4-edge
+            # pyramid (mujoco200 PGS cone; reference solver=PGS,
+            # deepmimic_humanoid3d.xml:9)
+            t1s, t2s = (jnp.clip(t1, -lim, lim), jnp.clip(t2, -lim, lim))
+        else:
+            tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
+            scale = jnp.where(tn > lim, lim / tn, 1.0)
+            t1s, t2s = t1 * scale, t2 * scale
+        parts = [n, t1s, t2s]
         if L:
             parts.append(jnp.maximum(lam[3 * K:], 0.0))
         return jnp.concatenate(parts) * activef

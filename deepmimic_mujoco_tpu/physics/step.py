@@ -60,7 +60,8 @@ class Engine:
                  iterations: Optional[int] = None,
                  integrator: Optional[int] = None,
                  warm_start_lam: bool = True,
-                 mesh_subcapsules: int = 2):
+                 mesh_subcapsules: int = 2,
+                 cone: str = "elliptic"):
         self.m = model
         self.max_contacts = max_contacts
         self.iterations = iterations if iterations is not None \
@@ -105,6 +106,11 @@ class Engine:
         # gate policies are trained against it end-to-end; pass False
         # to reproduce round-1/2 cold-start dynamics.
         self.warm_start_lam = warm_start_lam
+        # Friction-cone projection: "elliptic" (default; the smooth
+        # cone) or "pyramidal" (tangent-aligned box — the mujoco200 PGS
+        # cone the reference ran under, for parity quantification; see
+        # docs/ARCHITECTURE.md "Cone approximation").
+        self.cone = cone
 
     # ---- stages -------------------------------------------------------
     def position_stage(self, qpos):
@@ -160,7 +166,7 @@ class Engine:
         res = solve_constraints(
             m, com, M_hat, qfrc_smooth, qpos, qvel, contacts,
             self.body_dof, self.limit_table, iterations=self.iterations,
-            lam0=lam0)
+            lam0=lam0, cone=self.cone)
 
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=res.qacc, qfrc_smooth=qfrc_smooth,

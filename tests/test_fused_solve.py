@@ -35,7 +35,8 @@ def _mk(seed, nv, K, L):
             for x in (M, J, qf, aref, imp, active, mu)]
 
 
-def _fallback(M, J, qf, aref, imp, active, mu, lam0, K, L, its):
+def _fallback(M, J, qf, aref, imp, active, mu, lam0, K, L, its,
+              pyramidal=False):
     Minv = linalg.spd_inverse(M)
     qacc_s = Minv @ qf
     MinvJT = Minv @ J.T
@@ -46,8 +47,33 @@ def _fallback(M, J, qf, aref, imp, active, mu, lam0, K, L, its):
     Ahat = A + jnp.diag(R)
     invd = 1.0 / jnp.clip(diagA + R, 1e-8, None)
     lam = _pgs_iterate(Ahat, b, invd, mu, active, K=K, L=L,
-                       iterations=its, relaxation=0.15, lam0=lam0)
+                       iterations=its, relaxation=0.15, lam0=lam0,
+                       pyramidal=pyramidal)
     return qacc_s + MinvJT @ lam, J.T @ lam, lam
+
+
+def test_fused_pyramidal_matches_fallback():
+    """The optional pyramidal (mujoco200-PGS) cone projection agrees
+    between the fused kernel and the XLA fallback, and differs from the
+    elliptic default (i.e. the option is live). Trajectory-level cone
+    deviation is quantified in tools/diag_cone.py / ARCHITECTURE.md."""
+    from deepmimic_mujoco_tpu.ops.fused_solve import (
+        fused_solve_single as fss,
+    )
+
+    nv, K, L, its = 34, 16, 28, 30
+    M, J, qf, aref, imp, active, mu = [
+        jnp.asarray(x) for x in _mk(7, nv, K, L)]
+    ref = _fallback(M, J, qf, aref, imp, active, mu, None, K, L, its,
+                    pyramidal=True)
+    got = fss(M, J, qf, aref, imp, active, mu, K=K, L=L,
+              iterations=its, pyramidal=True, interpret=True)
+    for name, a, b in zip(("qacc", "qfrc", "lam"), ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 2e-4, name
+    ell = _fallback(M, J, qf, aref, imp, active, mu, None, K, L, its)
+    assert np.abs(np.asarray(ell[2]) - np.asarray(ref[2])).max() > 1e-5
 
 
 # humanoid3d dims at the production iteration count; G1 dims at a
