@@ -31,6 +31,17 @@ class SACConfig:
     net_arch: tuple = (1024, 512)
     action_scale: float = 1.0
     total_timesteps: int = 10_000_000
+    # --- stability knobs (round-4; see runs/sac20260819-1242_23:
+    # alpha collapsed to ~0.001 by 12M steps — saturated tanh actions
+    # make logp explode, which crushes the temperature — after which
+    # the critic destabilized periodically (loss 0.9 -> 119 at 51M)
+    # and reset all progress) -------------------------------------
+    # temperature: slower lr + hard floor so exploration never dies
+    alpha_lr: float = 1e-4
+    log_alpha_min: float = -4.6        # alpha >= ~0.01
+    # freeze actor updates for the first N env steps so the critic
+    # fits the (possibly warm-started) data distribution first
+    critic_warmup_steps: int = 0
 
 
 class Actor(nn.Module):
@@ -104,16 +115,19 @@ class SAC:
         self.actor = Actor(env.action_size, tuple(self.cfg.net_arch))
         self.critic = DoubleCritic(tuple(self.cfg.net_arch))
         self.tx = optax.adam(self.cfg.lr)
+        self.tx_alpha = optax.adam(self.cfg.alpha_lr)
         self.target_entropy = -float(env.action_size)
         self._train_iter = jax.jit(self._train_iter_impl, donate_argnums=0)
 
-    def init(self, seed: int = 0) -> SACState:
+    def init(self, seed: int = 0, init_actor=None) -> SACState:
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
         key, ka, kc, kr = jax.random.split(key, 4)
         obs0 = jnp.zeros((self.env.obs_size,), jnp.float32)
         act0 = jnp.zeros((self.env.action_size,), jnp.float32)
         actor = self.actor.init(ka, obs0)
+        if init_actor is not None:  # e.g. distilled from a PPO policy
+            actor = jax.tree.map(jnp.asarray, init_actor)
         critic = self.critic.init(kc, obs0, act0)
         log_alpha = jnp.zeros(())
         env_states, obs = jax.jit(jax.vmap(self.env.reset))(
@@ -133,7 +147,7 @@ class SAC:
             actor=actor, critic=critic, target_critic=target_critic,
             log_alpha=log_alpha, opt_actor=self.tx.init(actor),
             opt_critic=self.tx.init(critic),
-            opt_alpha=self.tx.init(log_alpha),
+            opt_alpha=self.tx_alpha.init(log_alpha),
             env_states=env_states, last_obs=obs, buffer=buffer,
             buf_pos=jnp.zeros((), jnp.int32),
             buf_full=jnp.zeros((), bool),
@@ -217,14 +231,20 @@ class SAC:
             (aloss, logp), agrad = jax.value_and_grad(
                 actor_loss, has_aux=True)(actor)
             aup, oa = self.tx.update(agrad, oa, actor)
+            # critic warmup: zero actor movement until the critic has
+            # fit the warm-start data distribution
+            warm = (s.global_step >= cfg.critic_warmup_steps).astype(
+                jnp.float32)
+            aup = jax.tree.map(lambda u: u * warm, aup)
             actor = optax.apply_updates(actor, aup)
 
             def alpha_loss(la):
                 return -(jnp.exp(la) * (logp + self.target_entropy)).mean()
 
             alloss, algrad = jax.value_and_grad(alpha_loss)(log_alpha)
-            alup, oal = self.tx.update(algrad, oal, log_alpha)
-            log_alpha = optax.apply_updates(log_alpha, alup)
+            alup, oal = self.tx_alpha.update(algrad, oal, log_alpha)
+            log_alpha = jnp.clip(optax.apply_updates(log_alpha, alup),
+                                 cfg.log_alpha_min, 2.0)
 
             target = jax.tree.map(
                 lambda t, c: t * (1 - cfg.tau) + c * cfg.tau, target, critic)
@@ -249,10 +269,10 @@ class SAC:
                      jnp.exp(log_alpha))
 
     def train(self, total_timesteps: Optional[int] = None, seed: int = 0,
-              verbose: bool = True, callback=None):
+              verbose: bool = True, callback=None, init_actor=None):
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps
-        s = self.init(seed)
+        s = self.init(seed, init_actor=init_actor)
         per_iter = cfg.n_envs * cfg.steps_per_iter
         t0 = time.time()
         for it in range(max(total // per_iter, 1)):

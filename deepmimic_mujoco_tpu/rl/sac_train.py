@@ -38,9 +38,89 @@ def parse_args(argv=None):
     p.add_argument("--warm-start-lam", action=argparse.BooleanOptionalAction,
                    default=None)
     p.add_argument("--mesh-subcapsules", type=int, default=None)
+    p.add_argument("--alpha-lr", type=float, default=1e-4)
+    p.add_argument("--log-alpha-min", type=float, default=-4.6)
+    p.add_argument("--critic-warmup", type=int, default=0,
+                   help="env steps with the actor frozen (critic fits "
+                        "the warm-start data distribution first)")
+    p.add_argument("--init-actor-from-ppo", default=None,
+                   help="distill the SAC actor from a gated PPO "
+                        "checkpoint before training (behavior cloning "
+                        "on states visited by the PPO policy)")
     args = p.parse_args(argv)
     print("Reason:", args.reason or "(none)")
     return args
+
+
+def distill_actor_from_ppo(sac, env, ppo_ckpt, n_rollout: int = 4096,
+                           steps: int = 3000, lr: float = 3e-4,
+                           init_log_std: float = -1.0, seed: int = 0):
+    """Behavior-clone the SAC actor from a PPO checkpoint.
+
+    Rolls the deterministic PPO policy over ``n_rollout`` parallel envs
+    for 64 steps (RSI starts -> on-policy state coverage), then
+    regresses ``tanh(mean)`` to the PPO action (clipped to the tanh
+    range; the gated walk policy emits |a|>1 on 1.25%% of dims) and
+    pins ``log_std`` near ``init_log_std``. VERDICT r3 'Next' #5:
+    SAC-from-scratch crawled to eval 9.85/60M with a collapsing
+    temperature; warm-starting from the gated PPO policy turns SAC
+    training into fine-tuning."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepmimic_mujoco_tpu.rl import networks
+    from deepmimic_mujoco_tpu.rl.checkpoint import restore_params
+
+    ppo_net = networks.ActorCritic(env.action_size)
+    tmpl = ppo_net.init(jax.random.PRNGKey(0), jnp.zeros(env.obs_size))
+    ppo_params = restore_params(ppo_ckpt, tmpl)
+
+    @jax.jit
+    def collect(key):
+        states, obs = jax.vmap(env.reset)(jax.random.split(key, n_rollout))
+
+        def body(carry, _):
+            states, obs = carry
+            a, _, _ = jax.vmap(lambda o: ppo_net.apply(ppo_params, o))(obs)
+            states, out = jax.vmap(env.step_auto_reset)(states, a)
+            return (states, out.obs), (obs, a)
+
+        _, (obs_tr, act_tr) = jax.lax.scan(body, (states, obs), None,
+                                           length=64)
+        return (obs_tr.reshape(-1, env.obs_size),
+                act_tr.reshape(-1, env.action_size))
+
+    key = jax.random.PRNGKey(seed)
+    obs_d, act_d = collect(key)
+    target_z = jnp.arctanh(jnp.clip(act_d, -0.995, 0.995))
+
+    actor = sac.actor.init(jax.random.PRNGKey(seed + 1),
+                           jnp.zeros(env.obs_size))
+    tx = optax.adam(lr)
+    opt = tx.init(actor)
+    nb = obs_d.shape[0]
+
+    @jax.jit
+    def bc_step(actor, opt, key):
+        idx = jax.random.randint(key, (4096,), 0, nb)
+
+        def loss(ap):
+            mean, log_std = sac.actor.apply(ap, obs_d[idx])
+            return (((mean - target_z[idx]) ** 2).mean()
+                    + 0.1 * ((log_std - init_log_std) ** 2).mean())
+
+        l, g = jax.value_and_grad(loss)(actor)
+        up, opt = tx.update(g, opt, actor)
+        return optax.apply_updates(actor, up), opt, l
+
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        actor, opt, l = bc_step(actor, opt, sub)
+        if i % 500 == 0:
+            print(f"distill step {i}: bc loss {float(l):.5f}", flush=True)
+    print(f"distill done: bc loss {float(l):.5f}")
+    return actor
 
 
 def main(argv=None):
@@ -58,8 +138,16 @@ def main(argv=None):
                     steps_per_iter=args.steps_per_iter,
                     updates_per_iter=args.updates_per_iter,
                     lr=args.lr, net_arch=tuple(args.arch),
-                    total_timesteps=args.total)
+                    total_timesteps=args.total,
+                    alpha_lr=args.alpha_lr,
+                    log_alpha_min=args.log_alpha_min,
+                    critic_warmup_steps=args.critic_warmup)
     sac = SAC(env, cfg)
+
+    init_actor = None
+    if args.init_actor_from_ppo:
+        init_actor = distill_actor_from_ppo(
+            sac, env, os.path.expanduser(args.init_actor_from_ppo))
 
     run_name = "sac" + time.strftime("%Y%m%d-%H%M_%S")
     out_dir = os.path.expanduser(args.out)
@@ -129,7 +217,7 @@ def main(argv=None):
             f.write(json.dumps(row) + "\n")
 
     s = sac.train(total_timesteps=args.total, seed=args.seed,
-                  callback=callback)
+                  callback=callback, init_actor=init_actor)
 
     path = checkpoint.save_params(
         os.path.join(out_dir, run_name + "_actor"), s.actor)
