@@ -48,6 +48,12 @@ def stage_breakdown(env, batch: int = 1024):
     q, v = states.qpos, states.qvel
     u = jnp.zeros((batch, m.nu), jnp.float32)
 
+    def _rne(q, v):
+        kin = fwd_kinematics(m, q)
+        com = com_pos(m, kin)
+        cvel, cdof_dot = com_vel(m, com, v)
+        return dynamics.rne(m, com, cvel, cdof_dot, v)
+
     stages = {
         "fk": jax.jit(jax.vmap(lambda q: fwd_kinematics(m, q))),
         "fk+com": jax.jit(jax.vmap(lambda q: com_pos(m, fwd_kinematics(m, q)))),
@@ -56,6 +62,7 @@ def stage_breakdown(env, batch: int = 1024):
                               eng.max_contacts))),
         "crb(M)": jax.jit(jax.vmap(
             lambda q: dynamics.crb(m, com_pos(m, fwd_kinematics(m, q))))),
+        "rne(bias)": jax.jit(jax.vmap(_rne)),
         "forward": jax.jit(jax.vmap(lambda q, v, u: eng.forward(q, v, u).qacc)),
         "full step": jax.jit(jax.vmap(lambda q, v, u: eng.step(q, v, u)[0])),
         "env step": jax.jit(jax.vmap(
@@ -63,10 +70,10 @@ def stage_breakdown(env, batch: int = 1024):
     }
     rows = []
     for name, fn in stages.items():
-        if name == "fk":
+        if name in ("fk", "fk+com", "collision", "crb(M)"):
             dt = _bench(fn, q)
-        elif name in ("fk+com", "collision", "crb(M)"):
-            dt = _bench(fn, q)
+        elif name == "rne(bias)":
+            dt = _bench(fn, q, v)
         elif name in ("forward", "full step"):
             dt = _bench(fn, q, v, u)
         else:
