@@ -18,6 +18,21 @@ cd /root/repo
 COMMON="--no-wandb --no-render --out runs --adaptive-lr --target-kl 0.012 \
   --epochs 10 --log-std-min -1.5 --eval-every 4000000 --horizon 128"
 
+# Run ladder leg C (the round-2 "v9" leg): the committed round-2
+# metrics show the winning program took ~920M steps across 7 legs and
+# sat at ep_len ~30 / eval ~2 after its first 230M (v3) — exactly where
+# legs A+B land — before the v8/v9 adaptive-lr continuations climbed
+# len 38 -> 153 -> 556 and eval 3.4 -> 21.6 -> 113.6. Keep continuing.
+BEST=$(ls -dt runs/run_test*_videos/run_test*_best 2>/dev/null | head -1)
+echo "leg C warm-start: $BEST"
+timeout 4000 python -u -m deepmimic_mujoco_tpu.rl.train r4-run-pk-ladderC \
+  --env deep_mimic_mujoco $COMMON \
+  --motion run --robot unitree_g1 \
+  --init-params "$BEST" \
+  --lr 2e-4 --total 250000000 \
+  > runs/q_r4_run_pk_ladderC.log 2>&1
+echo "PK LADDER C DONE rc=$?"
+
 timeout 2400 python -u -m deepmimic_mujoco_tpu.rl.train r4-getup-cont \
   --env deep_mimic_mujoco $COMMON \
   --motion getup_facedown_slow_FSI --robot unitree_g1 \
@@ -38,4 +53,19 @@ timeout 2400 python -u -m deepmimic_mujoco_tpu.rl.train r4-combined-ft \
   --lr 1.5e-4 --total 80000000 \
   > runs/q_r4_combined_ft.log 2>&1
 echo "COMBINED FT DONE rc=$?"
+
+# SAC to its gate (VERDICT r3 #5): distill the actor from the gated
+# PPO walk policy, freeze it while the critic fits (3M steps), then
+# fine-tune with the stabilized temperature (alpha >= 0.01, slow lr).
+timeout 2400 python -u -m deepmimic_mujoco_tpu.rl.sac_train r4-sac-distill \
+  --motion walk --robot humanoid3d \
+  --n-envs 512 --buffer 2000000 --batch 2048 \
+  --steps-per-iter 16 --updates-per-iter 48 --lr 3e-4 \
+  --critic-warmup 3000000 \
+  --init-actor-from-ppo runs/walk_test20260817-1649_40_videos/walk_test20260817-1649_40_best \
+  --total 40000000 --eval-every 2000000 --out runs \
+  > runs/q_r4_sac.log 2>&1
+echo "SAC DONE rc=$?"
+LATEST_SAC=$(ls -dt runs/sac*_best_actor 2>/dev/null | head -1)
+echo "best SAC actor: $LATEST_SAC"
 echo "QUEUE R4B DONE"
