@@ -85,6 +85,72 @@ def stage_breakdown(env, batch: int = 1024):
     return rows
 
 
+def solve_breakdown(env, batch: int = 4096):
+    """Substage timing INSIDE the forward pass: contact-Jacobian parts,
+    the J^T-build einsums, the fused kernel with prebuilt operands, and
+    the full constraint solve — isolates where the G1 solve-pipeline
+    milliseconds go (VERDICT r4 perf item)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.physics import com_pos, com_vel, fwd_kinematics
+    from deepmimic_mujoco_tpu.physics import dynamics
+    from deepmimic_mujoco_tpu.physics.collision import collide
+    from deepmimic_mujoco_tpu.physics.solver import (
+        contact_jac_parts, solve_constraints,
+    )
+
+    m = env.model
+    eng = env.engine
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    q, v = states.qpos, states.qvel
+    u = jnp.zeros((batch, m.nu), jnp.float32)
+
+    def position(qi):
+        kin = fwd_kinematics(m, qi)
+        com = com_pos(m, kin)
+        contacts = collide(m, eng.tables, kin, eng.max_contacts)
+        return com, contacts
+
+    def stage_parts(qi):
+        com, contacts = position(qi)
+        return contact_jac_parts(m, com, contacts, eng.body_dof)
+
+    def stage_crb_rne(qi, vi):
+        com, contacts = position(qi)
+        cvel, cdof_dot = com_vel(m, com, vi)
+        Mm = dynamics.crb(m, com)
+        bias = dynamics.rne(m, com, cvel, cdof_dot, vi)
+        return Mm, bias
+
+    def stage_solve(qi, vi, ui):
+        com, contacts = position(qi)
+        cvel, cdof_dot = com_vel(m, com, vi)
+        Mm = dynamics.crb(m, com)
+        bias = dynamics.rne(m, com, cvel, cdof_dot, vi)
+        qf = dynamics.actuator_force(m, ui) - bias
+        return solve_constraints(
+            m, com, Mm, qf, qi, vi, contacts, eng.body_dof,
+            eng.limit_table, iterations=eng.iterations).qacc
+
+    stages = {
+        "position (fk+com+coll)": (jax.jit(jax.vmap(position)), (q,)),
+        "+ jac parts": (jax.jit(jax.vmap(stage_parts)), (q,)),
+        "+ crb + rne": (jax.jit(jax.vmap(stage_crb_rne)), (q, v)),
+        "+ full solve": (jax.jit(jax.vmap(stage_solve)), (q, v, u)),
+        "forward (engine)": (jax.jit(jax.vmap(
+            lambda a, b, c: eng.forward(a, b, c).qacc)), (q, v, u)),
+    }
+    rows = []
+    for name, (fn, args) in stages.items():
+        dt = _bench(fn, *args)
+        rows.append((name, dt * 1e3, batch / dt))
+        print(f"{name:>24}: {dt * 1e3:8.2f} ms/batch "
+              f"({batch / dt:12,.0f} env-evals/s)", flush=True)
+    return rows
+
+
 def throughput_sweep(env, batches=(64, 256, 1024, 4096), steps: int = 64):
     import jax
     import jax.numpy as jnp
@@ -166,7 +232,7 @@ def plot_results(rows, path: str, kind: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="stages",
-                   choices=["stages", "sweep", "trace"])
+                   choices=["stages", "solve", "sweep", "trace"])
     p.add_argument("--env", default="deep_mimic_mujoco",
                    choices=["deep_mimic_mujoco", "dp_combined_env"])
     p.add_argument("--motion", default="walk")
@@ -184,6 +250,8 @@ def main(argv=None):
         rows = stage_breakdown(env, args.batch)
         if args.plot:
             plot_results(rows, args.plot, "stages")
+    elif args.mode == "solve":
+        solve_breakdown(env, args.batch)
     elif args.mode == "sweep":
         rows = throughput_sweep(env)
         if args.plot:

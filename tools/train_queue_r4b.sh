@@ -18,6 +18,17 @@ cd /root/repo
 COMMON="--no-wandb --no-render --out runs --adaptive-lr --target-kl 0.012 \
   --epochs 10 --log-std-min -1.5 --eval-every 4000000 --horizon 128"
 
+# Between legs: refresh the G1 per-stage TPU profile under the
+# pair-keyed engine (VERDICT r3 #4 asks for a committed profile).
+timeout 900 python -u -m deepmimic_mujoco_tpu.tools.profiling \
+  --mode stages --robot unitree_g1 --motion run --batch 4096 \
+  > runs/q_r4_g1_stages.log 2>&1
+echo "G1 PROFILE DONE rc=$?"
+timeout 900 python -u -m deepmimic_mujoco_tpu.tools.profiling \
+  --mode solve --robot unitree_g1 --motion run --batch 4096 \
+  >> runs/q_r4_g1_stages.log 2>&1
+echo "G1 SOLVE PROFILE DONE rc=$?"
+
 # Run ladder leg C (the round-2 "v9" leg): the committed round-2
 # metrics show the winning program took ~920M steps across 7 legs and
 # sat at ep_len ~30 / eval ~2 after its first 230M (v3) — exactly where
