@@ -64,15 +64,15 @@ class Contacts(NamedTuple):
     #                        slot saturation changes dynamics; this
     #                        makes it observable (see envs exposing it
     #                        via info/metrics).
-    sel: jnp.ndarray = None  # (ncon, n_pair_slots) one-hot selection
-    #                          matrix mapping compacted slots back to
-    #                          their static pair-slot identity; used by
-    #                          the engine's PAIR-KEYED solver warm start
+    slot_idx: jnp.ndarray = None  # (ncon,) int32 static pair-slot id
+    #                          of each compacted slot; used by the
+    #                          engine's PAIR-KEYED solver warm start
     #                          (top-K reorders slots by depth every
-    #                          step, so slot-indexed forces would be
+    #                          step, so slot-INDEXED forces would be
     #                          applied to the wrong contact whenever
     #                          depth order churns — e.g. G1 run flight
-    #                          phases).
+    #                          phases; matching ids lets a persisting
+    #                          contact keep its force).
 
 
 class PairGroup(NamedTuple):
@@ -809,7 +809,7 @@ def collide(m: PhysicsModel, tables: List[PairGroup], kin: Kin,
         solimp=sel @ jnp.asarray(cat("solimp"), dtype),
         condim=int_sel("condim"),
         overflow=overflow,
-        sel=sel,
+        slot_idx=idx.astype(jnp.int32),
     )
 
 

@@ -86,19 +86,23 @@ class Engine:
         self.limit_table = dynamics.limited_hinge_table(model)
         self.n_constraint_rows = (3 * self.max_contacts
                                   + len(self.limit_table[0]))
-        # Warm-start forces are carried in PAIR-SLOT space (one row per
-        # static candidate contact), not compacted-slot space: top-K
-        # compaction orders slots by depth, so a slot's identity churns
-        # whenever relative depths reorder (every flight phase of a run
-        # gait) and slot-indexed forces would warm-start the WRONG
-        # contact. Pair-keyed carry makes the warm start follow the
-        # physical contact — the ordering-invariance MuJoCo gets from
-        # warm-starting in joint space (qacc_warmstart).
+        # Warm-start forces are carried PAIR-KEYED, not slot-keyed:
+        # top-K compaction orders contact slots by depth, so a slot's
+        # identity churns whenever relative depths reorder (every
+        # flight phase of a run gait) and slot-indexed forces would
+        # warm-start the WRONG contact. The carry is the compact force
+        # vector plus each slot's static pair-slot id; the next step
+        # matches ids (a K x K one-hot, K <= max_contacts) so a
+        # persisting contact keeps its force no matter how the
+        # compaction reorders — the ordering-invariance MuJoCo gets
+        # from warm-starting in joint space (qacc_warmstart), at
+        # K*K cost instead of the full candidate-pair table (G1: 1252
+        # candidate slots).
         from deepmimic_mujoco_tpu.physics.collision import total_slots
 
         self.n_pair_slots = total_slots(self.tables)
-        self.n_warm_rows = (3 * self.n_pair_slots
-                            + len(self.limit_table[0]))
+        k_slots = min(self.max_contacts, self.n_pair_slots)
+        self.n_warm_rows = 3 * k_slots + len(self.limit_table[0]) + k_slots
         # Warm-starting the constraint solve from the previous step's
         # forces measurably shifts the 50-iteration partial solution
         # (policies trained on cold starts drop from reward 339 to 27
@@ -135,7 +139,7 @@ class Engine:
         m = self.m
         kin, com, contacts = self.position_stage(qpos)
         if lam0 is not None:
-            lam0 = self._gather_warm(contacts.sel, lam0)
+            lam0 = self._gather_warm(contacts.slot_idx, lam0)
         cvel, cdof_dot = com_vel(m, com, qvel)
 
         M = dynamics.crb(m, com)
@@ -171,22 +175,29 @@ class Engine:
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=res.qacc, qfrc_smooth=qfrc_smooth,
                           qfrc_constraint=res.qfrc_constraint,
-                          lam=self._scatter_warm(contacts.sel, res.lam))
+                          lam=self._scatter_warm(contacts.slot_idx,
+                                                 res.lam))
 
     # ---- pair-keyed warm start ------------------------------------------
-    # The carried lam lives in pair-slot space, layout
-    # [normal(n_pair_slots), t1(n_pair_slots), t2(n_pair_slots),
-    #  limits(L)]; the solver's compact lam is
-    # [normal(K), t1(K), t2(K), limits(L)] over this step's top-K slots.
-    def _gather_warm(self, sel, lam_pairs):
-        ns = self.n_pair_slots
-        parts = [sel @ lam_pairs[i * ns:(i + 1) * ns] for i in range(3)]
-        return jnp.concatenate(parts + [lam_pairs[3 * ns:]])
+    # Carried layout: [normal(K), t1(K), t2(K), limits(L),
+    # slot_idx(K) as f32]; the solver's compact lam is
+    # [normal(K), t1(K), t2(K), limits(L)] over this step's top-K
+    # slots. Gathering = matching previous ids to current ids (exact
+    # equivalence with a scatter/gather through the full pair-slot
+    # table: ids are unique, and any pair absent from the previous
+    # top-K carried zero force by construction).
+    def _gather_warm(self, slot_idx, lam_packed):
+        K = slot_idx.shape[0]
+        nl = 3 * K + len(self.limit_table[0])
+        lamp = lam_packed[:nl]
+        idx_prev = lam_packed[nl:].astype(jnp.int32)
+        match = (slot_idx[:, None] == idx_prev[None, :]).astype(
+            lam_packed.dtype)                                  # (K, K)
+        parts = [match @ lamp[i * K:(i + 1) * K] for i in range(3)]
+        return jnp.concatenate(parts + [lamp[3 * K:]])
 
-    def _scatter_warm(self, sel, lam):
-        K = sel.shape[0]
-        parts = [sel.T @ lam[i * K:(i + 1) * K] for i in range(3)]
-        return jnp.concatenate(parts + [lam[3 * K:]])
+    def _scatter_warm(self, slot_idx, lam):
+        return jnp.concatenate([lam, slot_idx.astype(lam.dtype)])
 
     # ---- integration ---------------------------------------------------
     def integrate_pos(self, qpos, qvel, h):

@@ -98,46 +98,98 @@ def test_checkpoint_gate(ckpt, motion, robot, idx, min_rew, env_kwargs):
         f"{motion}/{robot} gate failed: ep_rew {rew:.2f} <= {min_rew}")
 
 
+# Combined-env gate checkpoints, most-preferred first: (path, min
+# reward, min episode length, min recovery cycles). The cycle
+# requirement only arms on checkpoints trained to survive the
+# getup->RUN handoff; the round-2 checkpoint predates that training
+# (cycle probe: completes 1 cycle, then dies on a run handoff).
+# Episodes run 2000 steps (the combined env's MAX_EP_LENGTH); the
+# round-3 thresholds (40/900 at 1000 steps, vs measured 68.8) scale to
+# 140/1800 for a policy at round-2's 81.8-per-1000 level.
+_COMBINED_GATES = [
+    ("runs/combined_r4_best", 140.0, 1800, 2),
+    ("runs/walk_test20260817-0951_50_videos/"
+     "walk_test20260817-0951_50_best", 40.0, 900, 0),
+]
+
+
 def test_combined_env_gate():
     """Combined-env (the reference's flagship training workload,
-    src/sb3_ppo.py:277-313) behavioral gate: the committed policy must
-    keep the state machine alive and scoring over the full episode cap
-    under current engine defaults. Threshold below the measured 68.8
-    deterministic replay to absorb solver-semantics evolution."""
+    src/sb3_ppo.py:277-313) behavioral gate under current engine
+    defaults: episode reward/length on a clean episode, plus — for
+    checkpoints trained for it — completed fall -> to_getup -> getup ->
+    locomotion recovery cycles under periodic forced facedown falls
+    (reference transitions: src/combined_env.py:398-445). Episodes run
+    as one jitted scan; falls are injected by force-state every 300
+    steps once the robot is in locomotion past amnesty."""
     from deepmimic_mujoco_tpu.envs import DPCombinedEnv
+    from deepmimic_mujoco_tpu.envs.combined_env import (
+        GETUP, RUN, TO_GETUP, WALK,
+    )
 
-    ckpt = os.path.join(
-        _REPO, "runs/walk_test20260817-0951_50_videos/"
-               "walk_test20260817-0951_50_best")
-    if not os.path.isdir(ckpt):
-        pytest.skip("combined checkpoint not committed")
+    for path, min_rew, min_len, min_cycles in _COMBINED_GATES:
+        ckpt = os.path.join(_REPO, path)
+        if os.path.isdir(ckpt):
+            break
+    else:
+        pytest.skip("no combined checkpoint committed")
     env = DPCombinedEnv()
     net = networks.ActorCritic(env.action_size)
     tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros(env.obs_size))
     params = restore_params(ckpt, tmpl)
+    fall_qpos = env.mocap_qpos[GETUP, 0]
+    fall_qvel = jnp.zeros_like(env.mocap_qvel[GETUP, 0])
+    amnesty = env.ENV_CFG.AMNESTY_STEPS
 
     @jax.jit
-    def episode(key):
+    def episode(key, inject_every):
         state0, obs0 = env.reset(key)
 
-        def body(carry, _):
-            state, obs, alive = carry
+        def body(carry, i):
+            state, obs, alive, armed, saw_tg, cycles = carry
             mean, _, _ = net.apply(params, obs)
-            nstate, out = env.step(state, mean)
+            armed = armed | (inject_every & (i % 300 == 0) & (i > 0))
+            in_loco = ((state.motion_id == WALK)
+                       | (state.motion_id == RUN))
+            inject = armed & in_loco & (state.n_steps > amnesty) & alive
+            nstate_f, out_f = env.step(state, mean,
+                                       force_state=(fall_qpos, fall_qvel))
+            nstate_d, out_d = env.step(state, mean)
+            nstate = jax.tree.map(
+                lambda a, b: jnp.where(inject, a, b), nstate_f, nstate_d)
+            out = jax.tree.map(
+                lambda a, b: jnp.where(inject, a, b), out_f, out_d)
+            armed = armed & ~inject
+            # recovery-cycle accounting on motion_id transitions
+            prev, cur = state.motion_id, nstate.motion_id
+            changed = (cur != prev) & alive
+            saw_tg = saw_tg | (changed & (cur == TO_GETUP))
+            completed = (changed & (prev == GETUP)
+                         & ((cur == WALK) | (cur == RUN)) & saw_tg)
+            cycles = cycles + completed.astype(jnp.int32)
+            saw_tg = saw_tg & ~completed
             r = out.reward * alive.astype(out.reward.dtype)
             nalive = alive & ~out.done
             state = jax.tree.map(
                 lambda a, b: jnp.where(alive, a, b), nstate, state)
             obs = jnp.where(alive, out.obs, obs)
-            return (state, obs, nalive), (r, alive)
+            return (state, obs, nalive, armed, saw_tg, cycles), (r, alive)
 
-        _, (rews, alives) = jax.lax.scan(
-            body, (state0, obs0, jnp.ones((), bool)), None, length=1000)
-        return rews.sum(), alives.sum()
+        init = (state0, obs0, jnp.ones((), bool), jnp.zeros((), bool),
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+        (_, _, _, _, _, cycles), (rews, alives) = jax.lax.scan(
+            body, init, jnp.arange(2000))
+        return rews.sum(), alives.sum(), cycles
 
-    rew, length = episode(jax.random.PRNGKey(0))
-    assert float(rew) > 40.0, f"combined gate: ep_rew {float(rew):.2f}"
-    assert int(length) >= 900, f"combined gate: ep_len {int(length)}"
+    # clean episode: reward/length (the reference's replay protocol)
+    rew, length, _ = episode(jax.random.PRNGKey(0), jnp.asarray(False))
+    assert float(rew) > min_rew, f"combined gate: ep_rew {float(rew):.2f}"
+    assert int(length) >= min_len, f"combined gate: ep_len {int(length)}"
+    if min_cycles:
+        # injected episode: recovery-cycle robustness
+        _, _, cycles = episode(jax.random.PRNGKey(0), jnp.asarray(True))
+        assert int(cycles) >= min_cycles, (
+            f"combined gate: {int(cycles)} recovery cycles < {min_cycles}")
 
 
 def test_sac_gate():
