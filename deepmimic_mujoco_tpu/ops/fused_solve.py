@@ -107,22 +107,28 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
         col = jnp.where(row_iota >= j, col, 0.0)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (nv_p, 1), 0) == j
                   ).astype(f32)                      # (nv_p, 1)
-        Lmat = Lmat + col[:, None, :] * onehot[None, :, :]
+        # static-index column write (no full-tensor masked add)
+        Lmat = jax.lax.dynamic_update_slice_in_dim(
+            Lmat, col[:, None, :], j, axis=1)
         inv_Ld = inv_Ld + onehot * inv_d[None, :]
         A = A - col[:, None, :] * col[None, :, :]
 
     # ---- 2. W = L^-1 J^T (forward substitution, outer form) ---------
-    # In-place on the DMA scratch buffer: at step k row k becomes
-    # final (rk), rows > k subtract the update (the row-k
-    # self-subtraction is masked out; rows < k have L[i,k]=0).
+    # ONE rank-1 FMA per column: with u = W[k] (pre-update),
+    # W' = W - c (x) u where c[k] = 1 - 1/L[kk] (scales row k to its
+    # final value rk = u/L[kk]) and c[i>k] = L[i,k]/L[kk] (subtracts
+    # L[i,k]*rk). Folding the row-k write into the same update kills
+    # two of the three full-(nv_p, n_p, E) passes the masked
+    # select-and-subtract form cost per column (VPU-bound kernel).
     W = jt_vmem[...]                                 # (nv_p, n_p, E)
-    row_gt = jax.lax.broadcasted_iota(jnp.int32, (nv_p, 1), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nv_p, 1), 0)
     for k in range(nv):
-        rk = W[k] * inv_Ld[k][None, :]               # (n_p, E)
-        onehot = (row_gt == k).astype(f32)
-        colk = Lmat[:, k, :] * (row_gt > k).astype(f32)
-        W = (W + onehot[:, :, None] * (rk - W[k])[None, :, :]
-             - colk[:, None, :] * rk[None, :, :])
+        u = W[k]                                     # (n_p, E)
+        is_k = (row_ids == k).astype(f32)
+        gt_k = (row_ids > k).astype(f32)
+        c = (is_k * (1.0 - inv_Ld[k][None, :])
+             + gt_k * Lmat[:, k, :] * inv_Ld[k][None, :])   # (nv_p, E)
+        W = W - c[:, None, :] * u[None, :, :]
 
     # ---- 3. qacc_smooth = M^-1 qfrc (two triangular solves) ---------
     def fwd_solve(rhs):                              # L y = rhs
