@@ -107,9 +107,9 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
         col = jnp.where(row_iota >= j, col, 0.0)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (nv_p, 1), 0) == j
                   ).astype(f32)                      # (nv_p, 1)
-        # static-index column write (no full-tensor masked add)
-        Lmat = jax.lax.dynamic_update_slice_in_dim(
-            Lmat, col[:, None, :], j, axis=1)
+        # masked add column write (dynamic_update_slice is not
+        # implemented in the Mosaic TPU lowering)
+        Lmat = Lmat + col[:, None, :] * onehot[None, :, :]
         inv_Ld = inv_Ld + onehot * inv_d[None, :]
         A = A - col[:, None, :] * col[None, :, :]
 
