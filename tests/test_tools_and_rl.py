@@ -166,7 +166,7 @@ def test_profiling_stage_breakdown_smoke(humanoid_env):
     from deepmimic_mujoco_tpu.tools.profiling import stage_breakdown
 
     rows = stage_breakdown(humanoid_env, batch=4)
-    assert len(rows) == 7
+    assert len(rows) == 8  # + the round-4 rne(bias) stage
     assert all(t >= 0 for _, t, _ in rows)
 
 
