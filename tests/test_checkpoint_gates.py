@@ -47,12 +47,14 @@ GATES = [
     # G1 facedown getup — the third behavior the reference demonstrates
     # from a committed checkpoint ("PRETTY TOTEM 70",
     # src/play_g1_facedown_slow_pretty_totem.py:9-28, idx_init=0).
-    # Round-3 checkpoint replays 58.5 from frame 0 under the default
-    # engine semantics (the round-3 log's "eval 9.7" was an RSI-start
-    # eval artifact — see tools/diag_getup.py).
-    ("runs/getup_facedown_slow_FSI_test20260819-1115_59_videos/"
-     "getup_facedown_slow_FSI_test20260819-1115_59_best",
-     "getup_facedown_slow_FSI", "unitree_g1", 0, 40.0, {}),
+    # Round-4 continuation of the round-3 checkpoint (whose "eval 9.7"
+    # was an RSI-start eval artifact — it replayed 58.5 from frame 0;
+    # see tools/diag_getup.py): best frame-0 eval 69.4 over the full
+    # 333-step clip under default engine semantics, matching the
+    # reference's ~70.
+    ("runs/getup_facedown_slow_FSI_test20260819-1856_58_videos/"
+     "getup_facedown_slow_FSI_test20260819-1856_58_best",
+     "getup_facedown_slow_FSI", "unitree_g1", 0, 60.0, {}),
 ]
 
 
