@@ -42,6 +42,10 @@ class SACConfig:
     # freeze actor updates for the first N env steps so the critic
     # fits the (possibly warm-started) data distribution first
     critic_warmup_steps: int = 0
+    # separate actor lr (None = cfg.lr); a distilled warm-started
+    # actor wants a much gentler rate than the critic or the BC prior
+    # is destroyed the moment the warmup ends
+    actor_lr: float = None
 
 
 class Actor(nn.Module):
@@ -115,6 +119,9 @@ class SAC:
         self.actor = Actor(env.action_size, tuple(self.cfg.net_arch))
         self.critic = DoubleCritic(tuple(self.cfg.net_arch))
         self.tx = optax.adam(self.cfg.lr)
+        self.tx_actor = optax.adam(self.cfg.actor_lr
+                                   if self.cfg.actor_lr is not None
+                                   else self.cfg.lr)
         self.tx_alpha = optax.adam(self.cfg.alpha_lr)
         self.target_entropy = -float(env.action_size)
         self._train_iter = jax.jit(self._train_iter_impl, donate_argnums=0)
@@ -145,7 +152,7 @@ class SAC:
         target_critic = jax.tree.map(jnp.copy, critic)
         return SACState(
             actor=actor, critic=critic, target_critic=target_critic,
-            log_alpha=log_alpha, opt_actor=self.tx.init(actor),
+            log_alpha=log_alpha, opt_actor=self.tx_actor.init(actor),
             opt_critic=self.tx.init(critic),
             opt_alpha=self.tx_alpha.init(log_alpha),
             env_states=env_states, last_obs=obs, buffer=buffer,
@@ -230,7 +237,7 @@ class SAC:
 
             (aloss, logp), agrad = jax.value_and_grad(
                 actor_loss, has_aux=True)(actor)
-            aup, oa = self.tx.update(agrad, oa, actor)
+            aup, oa = self.tx_actor.update(agrad, oa, actor)
             # critic warmup: zero actor movement until the critic has
             # fit the warm-start data distribution
             warm = (s.global_step >= cfg.critic_warmup_steps).astype(

@@ -39,6 +39,7 @@ def parse_args(argv=None):
                    default=None)
     p.add_argument("--mesh-subcapsules", type=int, default=None)
     p.add_argument("--alpha-lr", type=float, default=1e-4)
+    p.add_argument("--actor-lr", type=float, default=None)
     p.add_argument("--log-alpha-min", type=float, default=-4.6)
     p.add_argument("--critic-warmup", type=int, default=0,
                    help="env steps with the actor frozen (critic fits "
@@ -140,6 +141,7 @@ def main(argv=None):
                     lr=args.lr, net_arch=tuple(args.arch),
                     total_timesteps=args.total,
                     alpha_lr=args.alpha_lr,
+                    actor_lr=args.actor_lr,
                     log_alpha_min=args.log_alpha_min,
                     critic_warmup_steps=args.critic_warmup)
     sac = SAC(env, cfg)

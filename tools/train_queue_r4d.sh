@@ -31,4 +31,19 @@ timeout 4000 python -u -m deepmimic_mujoco_tpu.rl.train r4-run-pk-ladderE \
   --lr 2e-4 --total 250000000 \
   > runs/q_r4_run_pk_ladderE.log 2>&1
 echo "PK LADDER E DONE rc=$?"
+
+# Combined handoff-heavy continuation: the round-4 fine-tune (eval
+# 88.3, gate probe 92.6/1692 clean) still dies at the getup->loco
+# handoff on the SECOND fall (cycles stuck at 1 both checkpoints,
+# /tmp/combined_probe.log evidence in q_r4_combined_ft.log commit).
+# Double down on handoff practice from the r4 best at a gentle lr.
+timeout 2400 python -u -m deepmimic_mujoco_tpu.rl.train r4-combined-handoff2 \
+  --env dp_combined_env --no-wandb --no-render --out runs --adaptive-lr \
+  --target-kl 0.012 --epochs 10 --log-std-min -1.5 \
+  --eval-every 4000000 --horizon 128 \
+  --handoff-rsi 0.4 --rsi-random-pa \
+  --init-params runs/combined_r4_best \
+  --lr 1e-4 --total 80000000 \
+  > runs/q_r4_combined_handoff2.log 2>&1
+echo "COMBINED HANDOFF2 DONE rc=$?"
 echo "QUEUE R4D DONE"
