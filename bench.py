@@ -140,7 +140,12 @@ def bench_mesh_scaling(n_devices, n_envs, n_steps):
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
-    n_envs = int(os.environ.get("BENCH_ENVS", "64" if small else "4096"))
+    # batch 2048 is the measured single-chip throughput optimum for
+    # both robots (round-4 sweep, runs/q_r4_g1_sweep.log +
+    # /tmp/h3d_sweep: h3d 744k@2048 vs 713k@4096 vs 646k@8192; G1
+    # 256k@1024 / 250k@2048 vs 218k@4096) — above it VMEM/HBM pressure
+    # in the fused-solve grid outweighs batching gains.
+    n_envs = int(os.environ.get("BENCH_ENVS", "64" if small else "2048"))
     n_steps = int(os.environ.get("BENCH_STEPS", "16" if small else "256"))
 
     if "--mesh" in __import__("sys").argv:

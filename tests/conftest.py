@@ -15,7 +15,11 @@ additionally skips the TPU-tunnel registration entirely (fastest).
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# DM_TPU_TESTS=1 leaves the real backend in place (used to run
+# tests/test_tpu_smoke.py on actual TPU hardware; the default CPU
+# pin would otherwise skip those tests even on a TPU host).
+if os.environ.get("DM_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -28,7 +32,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 if "jax" in sys.modules:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("DM_TPU_TESTS") != "1":
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/dm_tpu_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -6,7 +6,7 @@
 set -x
 cd /root/repo
 
-timeout 1200 python -u -m pytest tests/test_tpu_smoke.py -v \
+timeout 1200 env DM_TPU_TESTS=1 python -u -m pytest tests/test_tpu_smoke.py -v \
   > runs/q_r4_tpu_smoke.log 2>&1
 echo "TPU SMOKE rc=$?"
 
