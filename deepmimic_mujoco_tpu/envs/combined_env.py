@@ -147,8 +147,7 @@ class DPCombinedEnv:
         z = jnp.zeros(self.model.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=z, qfrc_smooth=z, qfrc_constraint=z,
-                          lam=jnp.zeros(self.engine.n_warm_rows,
-                                        qpos.dtype))
+                          lam=self.engine.empty_lam(qpos.dtype))
 
     def _mocap_at(self, motion_id, idx):
         return (self.mocap_qpos[motion_id, idx],
@@ -218,7 +217,7 @@ class DPCombinedEnv:
             player_action=pa,
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32), key=key,
-            lam=jnp.zeros(self.engine.n_warm_rows, jnp.float32))
+            lam=self.engine.empty_lam())
 
     def reset(self, key) -> Tuple[CombinedEnvState, jnp.ndarray]:
         state = self._reset_state(key)

@@ -158,8 +158,7 @@ class DPEnv:
         z = jnp.zeros(self.model.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=z, qfrc_smooth=z, qfrc_constraint=z,
-                          lam=jnp.zeros(self.engine.n_warm_rows,
-                                        qpos.dtype))
+                          lam=self.engine.empty_lam(qpos.dtype))
 
     def _obs(self, data, qpos, qvel, idx_curr):
         return obs_lib.get_obs(self.model, self.spec, self.ENV_CFG, data,
@@ -189,7 +188,7 @@ class DPEnv:
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32),
             key=key,
-            lam=jnp.zeros(self.engine.n_warm_rows, jnp.float32))
+            lam=self.engine.empty_lam())
         data = self._kinematic_data(qpos, qvel)
         return state, self._obs(data, qpos, qvel, state.idx_curr)
 
@@ -285,7 +284,7 @@ class DPEnv:
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32),
             key=key,
-            lam=jnp.zeros(self.engine.n_warm_rows, jnp.float32))
+            lam=self.engine.empty_lam())
         picked = jax.tree.map(
             lambda a, b: jnp.where(out.done, a, b), reset_state,
             new_state._replace(key=key))

@@ -193,8 +193,16 @@ def _fused_kernel(M_ref, JT_ref, qf_ref, aref_ref, imp_ref, act_ref,
         t1 = lam[K:2 * K]
         t2 = lam[2 * K:3 * K]
         lim = mu[:K] * nrm
-        if pyramidal:  # tangent-aligned 4-edge pyramid (mujoco200 PGS)
-            t1s, t2s = (jnp.clip(t1, -lim, lim), jnp.clip(t2, -lim, lim))
+        if pyramidal:
+            # tangent-aligned 4-edge pyramid (mujoco200 PGS): L1
+            # diamond |t1|+|t2| <= mu*n, Euclidean projection
+            # (elementwise only — keep Mosaic-lowerable)
+            a1, a2 = jnp.abs(t1), jnp.abs(t2)
+            x = jnp.clip((a1 - a2 + lim) * 0.5, 0.0, lim)
+            over = a1 + a2 > lim
+            p1 = jnp.where(over, x, a1)
+            p2 = jnp.where(over, lim - x, a2)
+            t1s, t2s = jnp.sign(t1) * p1, jnp.sign(t2) * p2
         else:
             tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
             scale = jnp.where(tn > lim, lim / tn, 1.0)

@@ -292,10 +292,17 @@ def _pgs_iterate(Ahat, b_vec, inv_diag, mu, activef, *, K, L,
         t2 = lam[2 * K:3 * K]
         lim = mu * n
         if pyramidal:
-            # axis-aligned box = the tangent-frame-aligned 4-edge
-            # pyramid (mujoco200 PGS cone; reference solver=PGS,
-            # deepmimic_humanoid3d.xml:9)
-            t1s, t2s = (jnp.clip(t1, -lim, lim), jnp.clip(t2, -lim, lim))
+            # tangent-frame-aligned 4-edge pyramid (mujoco200 PGS cone;
+            # reference solver=PGS, deepmimic_humanoid3d.xml:9): the
+            # tangent cross-section is the L1 diamond |t1|+|t2| <=
+            # mu*n. Euclidean projection onto it, per quadrant: points
+            # over the edge move to the clamped edge segment.
+            a1, a2 = jnp.abs(t1), jnp.abs(t2)
+            x = jnp.clip((a1 - a2 + lim) * 0.5, 0.0, lim)
+            over = a1 + a2 > lim
+            p1 = jnp.where(over, x, a1)
+            p2 = jnp.where(over, lim - x, a2)
+            t1s, t2s = jnp.sign(t1) * p1, jnp.sign(t2) * p2
         else:
             tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-24)
             scale = jnp.where(tn > lim, lim / tn, 1.0)

@@ -102,6 +102,7 @@ class Engine:
 
         self.n_pair_slots = total_slots(self.tables)
         k_slots = min(self.max_contacts, self.n_pair_slots)
+        self.k_slots = k_slots
         self.n_warm_rows = 3 * k_slots + len(self.limit_table[0]) + k_slots
         # Warm-starting the constraint solve from the previous step's
         # forces measurably shifts the 50-iteration partial solution
@@ -193,11 +194,27 @@ class Engine:
         idx_prev = lam_packed[nl:].astype(jnp.int32)
         match = (slot_idx[:, None] == idx_prev[None, :]).astype(
             lam_packed.dtype)                                  # (K, K)
-        parts = [match @ lamp[i * K:(i + 1) * K] for i in range(3)]
+        # HIGHEST precision: the default TPU matmul is bf16-reduced,
+        # which would truncate the gathered warm-start forces relative
+        # to the CPU path (a small CPU-vs-TPU dynamics divergence in an
+        # engine that gates trained checkpoints on exact semantics)
+        parts = [jnp.matmul(match, lamp[i * K:(i + 1) * K],
+                            precision=jax.lax.Precision.HIGHEST)
+                 for i in range(3)]
         return jnp.concatenate(parts + [lamp[3 * K:]])
 
     def _scatter_warm(self, slot_idx, lam):
         return jnp.concatenate([lam, slot_idx.astype(lam.dtype)])
+
+    def empty_lam(self, dtype=jnp.float32):
+        """Zero warm-start carry. The trailing slot-id segment is -1
+        (no real pair-slot id is negative) so an 'empty' entry can
+        never alias the valid pair-slot id 0 — with a zero-filled id
+        segment, a current id-0 slot would match all K previous
+        entries and correctness would rest on the implicit invariant
+        that zero-id carries also hold zero force."""
+        lam = jnp.zeros(self.n_warm_rows, dtype)
+        return lam.at[self.n_warm_rows - self.k_slots:].set(-1.0)
 
     # ---- integration ---------------------------------------------------
     def integrate_pos(self, qpos, qvel, h):
@@ -272,4 +289,4 @@ class Engine:
         z = jnp.zeros(self.m.nv, qpos.dtype)
         return EngineData(kin=kin, com=com, cvel=cvel, contacts=contacts,
                           qacc=z, qfrc_smooth=z, qfrc_constraint=z,
-                          lam=jnp.zeros(self.n_warm_rows, qpos.dtype))
+                          lam=self.empty_lam(qpos.dtype))

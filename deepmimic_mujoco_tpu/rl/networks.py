@@ -9,11 +9,47 @@ src/sac_sb3.py:38).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def clip_preserve_inward(x, lo, hi):
+    """``jnp.clip`` with inward-preserving gradients.
+
+    Value: identical to ``jnp.clip(x, lo, hi)`` — committed
+    checkpoints replay bit-identically. Gradient: identity, except
+    components that would push ``x`` further OUTSIDE the bounds are
+    zeroed. A hard clip has exactly zero gradient once the raw
+    parameter crosses a bound; observed failure mode (round-4 G1 run
+    legs F/G): the log-std parameter decays below the floor, entropy
+    freezes bit-identical for hundreds of iterations, and exploration
+    can never re-open by gradient descent. With inward-preserving
+    gradients the optimizer can always pull the parameter back inside,
+    while outward drift past the bound stays blocked.
+    """
+    return jnp.clip(x, lo, hi)
+
+
+def _cpi_fwd(x, lo, hi):
+    return jnp.clip(x, lo, hi), x
+
+
+def _cpi_bwd(lo, hi, x, g):
+    # strict inequalities: for lo <= x <= hi the gradient is identity,
+    # exactly like jnp.clip. Strictly outside, descent direction is
+    # -g: below the floor block g > 0 (would push x further down),
+    # above the ceiling block g < 0. Never blocks where clip wouldn't.
+    g = jnp.where((x < lo) & (g > 0), 0.0, g)
+    g = jnp.where((x > hi) & (g < 0), 0.0, g)
+    return (g,)
+
+
+clip_preserve_inward.defvjp(_cpi_fwd, _cpi_bwd)
 
 
 class ActorCritic(nn.Module):
@@ -43,7 +79,8 @@ class ActorCritic(nn.Module):
             "log_std",
             nn.initializers.constant(self.init_log_std),
             (self.action_dim,))
-        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
+        log_std = clip_preserve_inward(
+            log_std, self.log_std_min, self.log_std_max)
         return mean, log_std, value
 
 

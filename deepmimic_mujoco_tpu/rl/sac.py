@@ -237,12 +237,15 @@ class SAC:
 
             (aloss, logp), agrad = jax.value_and_grad(
                 actor_loss, has_aux=True)(actor)
-            aup, oa = self.tx_actor.update(agrad, oa, actor)
-            # critic warmup: zero actor movement until the critic has
-            # fit the warm-start data distribution
+            # critic warmup: zero the GRADIENT (not just the applied
+            # update) until the critic has fit the warm-start data
+            # distribution — zeroing only the update would let Adam
+            # moments accumulate during the freeze and release a stale
+            # momentum burst the moment warmup ends
             warm = (s.global_step >= cfg.critic_warmup_steps).astype(
                 jnp.float32)
-            aup = jax.tree.map(lambda u: u * warm, aup)
+            agrad = jax.tree.map(lambda g: g * warm, agrad)
+            aup, oa = self.tx_actor.update(agrad, oa, actor)
             actor = optax.apply_updates(actor, aup)
 
             def alpha_loss(la):

@@ -249,3 +249,47 @@ def test_ppo_shaping_anneal(humanoid_env):
                                float(s_off.mean_reward), rtol=1e-5)
     np.testing.assert_allclose(float(s_on.v_loss), float(s_off.v_loss),
                                rtol=1e-4)
+
+
+def test_log_std_floor_gradient_reopens():
+    """The log-std bound must not freeze exploration: once the raw
+    parameter decays below the floor, a hard ``jnp.clip`` has exactly
+    zero gradient and sigma can never re-open by gradient descent
+    (round-4 G1-run legs F/G: entropy bit-frozen for 400+ iterations
+    at log_std_mean -1.50028). ``clip_preserve_inward`` keeps forward
+    values clip-identical (committed checkpoints replay unchanged) but
+    passes inward-pointing gradients and blocks outward drift."""
+    from deepmimic_mujoco_tpu.rl.networks import clip_preserve_inward
+
+    lo, hi = -1.5, 1.0
+    x = jnp.asarray([-2.0, -1.5, 0.0, 1.0, 3.0])
+    np.testing.assert_array_equal(
+        clip_preserve_inward(x, lo, hi), jnp.clip(x, lo, hi))
+
+    # gradient of sum(f(x)): upstream cotangent g = +1 everywhere.
+    # Descent step -g decreases x: must be BLOCKED strictly below the
+    # floor (would push further out); identity for lo <= x <= hi
+    # exactly like jnp.clip (so never worse than clip at the bound).
+    g_down = jax.grad(lambda v: clip_preserve_inward(v, lo, hi).sum())(x)
+    np.testing.assert_array_equal(g_down, [0.0, 1.0, 1.0, 1.0, 1.0])
+    # upstream cotangent -1: descent increases x -> allowed below the
+    # floor (re-opens exploration), blocked strictly above the ceiling.
+    g_up = jax.grad(lambda v: -clip_preserve_inward(v, lo, hi).sum())(x)
+    np.testing.assert_array_equal(g_up, [-1.0, -1.0, -1.0, -1.0, 0.0])
+
+    # end-to-end through the policy: with the raw log_std parameter
+    # BELOW the floor, the entropy gradient (which wants larger sigma)
+    # must be nonzero so exploration can re-open.
+    from deepmimic_mujoco_tpu.rl import networks
+
+    net = networks.ActorCritic(4, net_arch=(8,), log_std_min=lo)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(6))
+    params["params"]["log_std"] = jnp.full(4, lo - 0.3)
+
+    def neg_entropy(p):
+        _, log_std, _ = net.apply(p, jnp.zeros(6))
+        return -networks.gaussian_entropy(log_std)
+
+    g = jax.grad(neg_entropy)(params)["params"]["log_std"]
+    assert np.all(np.asarray(g) < 0.0), (
+        "entropy gradient must re-open a below-floor log_std")

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-5 run-ladder, first wave. Context (VERDICT r4 Missing #1 /
+# Weak #1): every r4 continuation leg trained with sigma pinned at the
+# hard log-std floor (zero gradient through jnp.clip once the raw
+# parameter decays below it) — entropy was bit-frozen for 400+
+# iterations in legs F/G. The floor is now inward-preserving
+# (rl/networks.py clip_preserve_inward), so exploration can re-open by
+# gradient descent mid-leg instead of only via --reset-log-std.
+#
+# Leg H: resume leg D's shaping pattern (the one r4 leg that improved:
+#   ep_len ~30 -> 71.5 @120M under constant alive/vel floors) from its
+#   final params, exploration re-opened.
+# Leg F1: the falsification experiment VERDICT asks for — identical
+#   ladder under warm_start_lam=False (the round-2 breakout's engine
+#   config, warm from the same stable walk policy). If F1 climbs where
+#   the pair-keyed legs stall, the warm-start default is wrong for
+#   training and gets revisited rather than trained against.
+set -x
+cd /root/repo
+RUN="--env deep_mimic_mujoco --no-wandb --no-render --out runs \
+  --adaptive-lr --target-kl 0.012 --epochs 10 --log-std-min -1.5 \
+  --eval-every 4000000 --motion run --robot unitree_g1 --horizon 128"
+
+timeout 2600 python -u -m deepmimic_mujoco_tpu.rl.train r5-run-pk-ladderH \
+  $RUN \
+  --init-params runs/run_test20260819-1954_12_videos/run_test20260819-1954_12_latest \
+  --reset-log-std -1.0 \
+  --alive-bonus 0.15 --vel-shaping 0.15 \
+  --lr 1.5e-4 --total 150000000 \
+  > runs/q_r5_run_pk_ladderH.log 2>&1
+echo "PK LADDER H DONE rc=$?"
+
+timeout 3000 python -u -m deepmimic_mujoco_tpu.rl.train r5-run-cold-F1 \
+  $RUN \
+  --no-warm-start-lam \
+  --init-params runs/walk_test20260817-1741_21_videos/walk_test20260817-1741_21_best \
+  --reset-log-std -0.7 \
+  --alive-bonus 0.3 --alive-bonus-decay 120000000 --vel-shaping 0.4 \
+  --lr 2.5e-4 --total 160000000 \
+  > runs/q_r5_run_cold_F1.log 2>&1
+echo "COLD F1 DONE rc=$?"
+echo "QUEUE R5A DONE"
