@@ -51,6 +51,22 @@ _PA_HEADINGS = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
 DONE_FALLEN_NO_AMNESTY = 10
 
 
+class HandoffBuffer(NamedTuple):
+    """Ring buffer of physical states captured at GETUP -> locomotion
+    transitions, shared across the vmapped env batch (it lives in the
+    trainer's carry, not per-env state). Resets draw from it with
+    probability ``cfg.HANDOFF_BUFFER_FRAC`` so the handoff is practiced
+    from the exact state distribution the current policy reaches —
+    late-getup MOCAP resets (HANDOFF_RSI_FRAC) miss the off-clip drift
+    that kills the round-2/4 policies at the second fall's handoff."""
+    qpos: jnp.ndarray    # (C, nq)
+    qvel: jnp.ndarray    # (C, nv)
+    pa: jnp.ndarray      # (C,) i32 player action at the transition
+    motion: jnp.ndarray  # (C,) i32 motion entered (WALK or RUN)
+    head: jnp.ndarray    # () i32 next write slot
+    count: jnp.ndarray   # () i32 valid rows (<= C)
+
+
 class CombinedEnvState(NamedTuple):
     qpos: jnp.ndarray
     qvel: jnp.ndarray
@@ -179,8 +195,49 @@ class DPCombinedEnv:
                 [ctrl, jnp.zeros(self.spec.n_hand_actions, ctrl.dtype)])
         return ctrl
 
+    # ---- on-policy handoff buffer ---------------------------------------
+    def make_handoff_buffer(self, capacity: int = 4096) -> HandoffBuffer:
+        nq, nv = self.model.nq, self.model.nv
+        return HandoffBuffer(
+            qpos=jnp.zeros((capacity, nq), jnp.float32),
+            qvel=jnp.zeros((capacity, nv), jnp.float32),
+            pa=jnp.zeros((capacity,), jnp.int32),
+            motion=jnp.full((capacity,), RUN, jnp.int32),
+            head=jnp.zeros((), jnp.int32),
+            count=jnp.zeros((), jnp.int32))
+
+    @staticmethod
+    def handoff_capture_mask(prev_motion_id, out):
+        """Batch mask of envs that just exited GETUP into locomotion
+        (and did not terminate on the same step)."""
+        entered_loco = (out.motion_id == WALK) | (out.motion_id == RUN)
+        return (prev_motion_id == GETUP) & entered_loco & ~out.done
+
+    @staticmethod
+    def update_handoff_buffer(buf: HandoffBuffer, mask, qpos, qvel, pa,
+                              motion) -> HandoffBuffer:
+        """Scatter the masked batch rows into the ring buffer. Static
+        shapes throughout: write positions for unmasked rows land at
+        index C and are dropped (XLA scatter mode='drop')."""
+        C = buf.qpos.shape[0]
+        mask_i = mask.astype(jnp.int32)
+        offs = jnp.cumsum(mask_i) - 1                     # (N,)
+        pos = (buf.head + offs) % C
+        pos = jnp.where(mask, pos, C)                     # drop lane
+        new = HandoffBuffer(
+            qpos=buf.qpos.at[pos].set(qpos, mode="drop"),
+            qvel=buf.qvel.at[pos].set(qvel, mode="drop"),
+            pa=buf.pa.at[pos].set(pa.astype(jnp.int32), mode="drop"),
+            motion=buf.motion.at[pos].set(motion.astype(jnp.int32),
+                                          mode="drop"),
+            head=(buf.head + mask_i.sum()) % C,
+            count=jnp.minimum(buf.count + mask_i.sum(), C))
+        return new
+
     # ---- API --------------------------------------------------------------
-    def _reset_state(self, key) -> CombinedEnvState:
+    def _reset_state(self, key,
+                     handoff_buf: Optional[HandoffBuffer] = None
+                     ) -> CombinedEnvState:
         """50/50 walk (past the amnesty window) or getup at a random
         frame (reference: src/combined_env.py:208-244). Training-only
         extensions (cfg, default off): a HANDOFF_RSI_FRAC share of
@@ -211,9 +268,23 @@ class DPCombinedEnv:
                            ).astype(jnp.int32)
         idx = n_steps.astype(jnp.int32) % self.motion_lengths[motion_id]
         qpos, qvel, _, _ = self._mocap_at(motion_id, idx)
+        n_steps = n_steps.astype(jnp.int32)
+        if handoff_buf is not None and cfg.HANDOFF_BUFFER_FRAC > 0.0:
+            kb1, kb2 = jax.random.split(key)
+            use = (jax.random.bernoulli(kb1, cfg.HANDOFF_BUFFER_FRAC)
+                   & (handoff_buf.count > 0))
+            i = jax.random.randint(kb2, (), 0,
+                                   jnp.maximum(handoff_buf.count, 1))
+            qpos = jnp.where(use, handoff_buf.qpos[i], qpos)
+            qvel = jnp.where(use, handoff_buf.qvel[i], qvel)
+            motion_id = jnp.where(use, handoff_buf.motion[i], motion_id)
+            pa = jnp.where(use, handoff_buf.pa[i], pa)
+            # the buffered state is the step AFTER the transition set
+            # n_steps=0 (new_steps + 1), so resume the clip at frame 1
+            n_steps = jnp.where(use, 1, n_steps)
         return CombinedEnvState(
             qpos=qpos, qvel=qvel, motion_id=motion_id,
-            n_steps=n_steps.astype(jnp.int32),
+            n_steps=n_steps,
             player_action=pa,
             episode_length=jnp.zeros((), jnp.int32),
             episode_reward=jnp.zeros((), jnp.float32), key=key,
@@ -335,10 +406,11 @@ class DPCombinedEnv:
             reward_info=rew, motion_id=new_motion)
         return new_state, out
 
-    def step_auto_reset(self, state: CombinedEnvState, action):
+    def step_auto_reset(self, state: CombinedEnvState, action,
+                        handoff_buf: Optional[HandoffBuffer] = None):
         new_state, out = self.step(state, action)
         key, sub = jax.random.split(new_state.key)
-        reset_state = self._reset_state(sub)
+        reset_state = self._reset_state(sub, handoff_buf)
         picked = jax.tree.map(
             lambda a, b: jnp.where(out.done, a, b),
             reset_state._replace(key=key), new_state._replace(key=key))

@@ -113,3 +113,11 @@ class DPCombinedEnvConfig:
     # resets always command walk; a handoff into run is then never
     # practiced from a fresh reset)
     RSI_RANDOM_PA: bool = False
+    # fraction of resets drawn from an ON-POLICY handoff buffer: the
+    # trainer captures the physical (qpos, qvel) at every
+    # GETUP -> locomotion transition the current policy actually
+    # reaches and resets here with motion n_steps=0. Unlike
+    # HANDOFF_RSI_FRAC (which resets to late-getup MOCAP poses), this
+    # covers the true off-clip state distribution at the handoff —
+    # the round-2/4 failure mode is dying exactly there.
+    HANDOFF_BUFFER_FRAC: float = 0.0

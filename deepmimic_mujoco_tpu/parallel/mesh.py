@@ -50,8 +50,14 @@ def shard_train_state(ts, mesh: Mesh):
         return jax.device_put(x, rep)
 
     env_states = jax.tree.map(place, ts.env_states)
+    extra = {}
+    if getattr(ts, "handoff_buf", None) is not None:
+        # the handoff ring buffer is shared global state: replicated
+        extra["handoff_buf"] = jax.tree.map(
+            lambda x: jax.device_put(x, rep), ts.handoff_buf)
     return ts._replace(
         env_states=env_states,
+        **extra,
         last_obs=jax.device_put(ts.last_obs, data),
         ep_return=jax.device_put(ts.ep_return, data),
         ep_length=jax.device_put(ts.ep_length, data),

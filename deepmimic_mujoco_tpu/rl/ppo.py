@@ -89,6 +89,12 @@ class PPOConfig:
     init_log_std: float = 0.0
     net_arch: tuple = (256, 128)
     total_timesteps: int = 500_000_000
+    # Capacity of the on-policy handoff buffer (combined env only;
+    # armed when env.ENV_CFG.HANDOFF_BUFFER_FRAC > 0): physical states
+    # captured at GETUP -> locomotion transitions during rollout, fed
+    # back as reset states so the handoff is practiced from the
+    # distribution the current policy actually reaches.
+    handoff_buffer_cap: int = 4096
 
 
 class TrainState(NamedTuple):
@@ -103,6 +109,8 @@ class TrainState(NamedTuple):
     ep_length: jnp.ndarray
     # adaptive lr-by-KL controller state (1.0 when disabled)
     lr_scale: jnp.ndarray
+    # on-policy handoff ring buffer (combined env; None when unused)
+    handoff_buf: Any = None
 
 
 class Transition(NamedTuple):
@@ -131,6 +139,8 @@ class IterStats(NamedTuple):
     # max active contacts dropped by slot saturation during the rollout
     # (0 = the fixed contact buffer was lossless all iteration)
     contact_overflow_max: jnp.ndarray = None
+    # valid rows in the on-policy handoff buffer (None when unused)
+    handoff_count: jnp.ndarray = None
 
 
 class PPO:
@@ -139,6 +149,10 @@ class PPO:
     def __init__(self, env, cfg: Optional[PPOConfig] = None):
         self.env = env
         self.cfg = cfg or PPOConfig()
+        env_cfg = getattr(env, "ENV_CFG", None)
+        self._handoff = bool(
+            hasattr(env, "make_handoff_buffer") and env_cfg is not None
+            and getattr(env_cfg, "HANDOFF_BUFFER_FRAC", 0.0) > 0.0)
         self.net = networks.make_policy(
             self.cfg.policy, env, net_arch=tuple(self.cfg.net_arch),
             init_log_std=self.cfg.init_log_std,
@@ -178,7 +192,9 @@ class PPO:
             if jax.config.jax_enable_x64 else jnp.zeros((), jnp.int32),
             ep_return=jnp.zeros(cfg.n_envs, jnp.float32),
             ep_length=jnp.zeros(cfg.n_envs, jnp.int32),
-            lr_scale=jnp.ones((), jnp.float32))
+            lr_scale=jnp.ones((), jnp.float32),
+            handoff_buf=(self.env.make_handoff_buffer(
+                cfg.handoff_buffer_cap) if self._handoff else None))
 
     # ---- one training iteration (rollout + update), fully jitted --------
     def _train_iter_impl(self, ts: TrainState):
@@ -186,13 +202,24 @@ class PPO:
         net = self.net
 
         def policy_step(carry, _):
-            env_states, obs, key, ep_ret, ep_len = carry
+            env_states, obs, key, ep_ret, ep_len, hbuf = carry
             key, akey = jax.random.split(key)
             mean, log_std, value = net.apply(ts.params, obs)
             action, logp = networks.sample_action(akey, mean, log_std)
             env_a = networks.env_action(net, obs, action)
-            env_states, out = jax.vmap(self.env.step_auto_reset)(
-                env_states, env_a)
+            if self._handoff:
+                prev_motion = env_states.motion_id
+                prev_pa = env_states.player_action
+                env_states, out = jax.vmap(
+                    self.env.step_auto_reset,
+                    in_axes=(0, 0, None))(env_states, env_a, hbuf)
+                mask = self.env.handoff_capture_mask(prev_motion, out)
+                hbuf = self.env.update_handoff_buffer(
+                    hbuf, mask, env_states.qpos, env_states.qvel,
+                    prev_pa, out.motion_id)
+            else:
+                env_states, out = jax.vmap(self.env.step_auto_reset)(
+                    env_states, env_a)
             ep_ret = ep_ret + out.reward
             ep_len = ep_len + 1
             done_f = out.done.astype(jnp.float32)
@@ -210,11 +237,13 @@ class PPO:
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
                             reward=out.reward, done=out.done,
                             shaping=shaping)
-            return (env_states, out.obs, key, ep_ret, ep_len), (tr, stats)
+            return ((env_states, out.obs, key, ep_ret, ep_len, hbuf),
+                    (tr, stats))
 
         carry0 = (ts.env_states, ts.last_obs, ts.key, ts.ep_return,
-                  ts.ep_length)
-        (env_states, last_obs, key, ep_ret, ep_len), (traj, stats) = \
+                  ts.ep_length, ts.handoff_buf)
+        ((env_states, last_obs, key, ep_ret, ep_len, handoff_buf),
+         (traj, stats)) = \
             jax.lax.scan(policy_step, carry0, None, length=cfg.horizon)
 
         # ---- GAE (reverse scan over the horizon) ----------------------
@@ -340,7 +369,8 @@ class PPO:
             params=params, opt_state=opt_state, env_states=env_states,
             last_obs=last_obs, key=key,
             global_step=ts.global_step + B,
-            ep_return=ep_ret, ep_length=ep_len, lr_scale=lr_scale)
+            ep_return=ep_ret, ep_length=ep_len, lr_scale=lr_scale,
+            handoff_buf=handoff_buf)
         it_stats = IterStats(
             mean_reward=mean_r.mean(), ep_return_sum=ep_ret_sum.sum(),
             ep_count=ep_cnt.sum(), ep_len_sum=ep_len_sum.sum(),
@@ -348,7 +378,8 @@ class PPO:
             clip_frac=clipfrac,
             log_std_mean=params["params"]["log_std"].mean(),
             v_loss_max=jax.tree.map(lambda x: x.max(), aux)[1],
-            lr_scale=lr_scale, contact_overflow_max=ov_max.max())
+            lr_scale=lr_scale, contact_overflow_max=ov_max.max(),
+            handoff_count=(handoff_buf.count if self._handoff else None))
         return new_ts, it_stats
 
     # ---- host loop -------------------------------------------------------

@@ -103,6 +103,12 @@ def parse_reason(argv=None, required=True):
     p.add_argument("--rsi-random-pa", action="store_true",
                    help="combined env: randomize reset player action "
                         "between walk and run")
+    p.add_argument("--handoff-buffer", type=float, default=0.0,
+                   help="combined env: fraction of resets drawn from "
+                        "the on-policy handoff buffer (states captured "
+                        "at GETUP->locomotion transitions during "
+                        "rollout)")
+    p.add_argument("--handoff-buffer-cap", type=int, default=4096)
     args = p.parse_args(argv)
     if required and not args.reason and not args.no_wandb:
         raise ValueError("Please provide a reason for this run")
@@ -130,14 +136,15 @@ def main(argv=None):
                     speed=args.speed, **eng_kw)
     else:
         ccfg = None
-        if args.handoff_rsi or args.rsi_random_pa:
+        if args.handoff_rsi or args.rsi_random_pa or args.handoff_buffer:
             from deepmimic_mujoco_tpu.envs.config import (
                 DPCombinedEnvConfig,
             )
 
             ccfg = DPCombinedEnvConfig(
                 HANDOFF_RSI_FRAC=args.handoff_rsi,
-                RSI_RANDOM_PA=args.rsi_random_pa)
+                RSI_RANDOM_PA=args.rsi_random_pa,
+                HANDOFF_BUFFER_FRAC=args.handoff_buffer)
         env = DPCombinedEnv(cfg=ccfg, **eng_kw)
 
     if args.preset == "legacy-ppo2":
@@ -225,7 +232,11 @@ def main(argv=None):
 
     def callback(it, ts, stats):
         gstep = (it + 1) * steps_per_iter
+        extra = {}
+        if stats.handoff_count is not None:
+            extra["handoff_count"] = int(stats.handoff_count)
         log_metrics({
+            **extra,
             "global_step": gstep,
             "mean_reward": float(stats.mean_reward),
             "ep_return": float(stats.ep_return_sum)

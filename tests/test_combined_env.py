@@ -160,3 +160,84 @@ def test_handoff_rsi_reset_distribution():
     pas = np.asarray(states.player_action)
     assert {PA_WALK, PA_RUN} == set(pas.tolist())  # both commands drawn
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_handoff_buffer_capture_and_reset(env):
+    """On-policy handoff buffer (VERDICT r4 #3): states captured at
+    GETUP -> locomotion transitions are fed back as reset states with
+    the entered motion at frame 1, covering the off-clip state
+    distribution where the round-2/4 policies die (reference handoff
+    transition: src/combined_env.py:398-410)."""
+    from deepmimic_mujoco_tpu.envs.config import DPCombinedEnvConfig
+
+    cfg = DPCombinedEnvConfig(HANDOFF_BUFFER_FRAC=1.0)
+    benv = DPCombinedEnv(cfg=cfg, iterations=10)
+    buf = benv.make_handoff_buffer(capacity=16)
+    assert int(buf.count) == 0
+
+    # craft a batch at the last getup frame: the timer transition
+    # fires this step and enters RUN (reference quirk)
+    n = 4
+    glen = int(benv.motion_lengths[GETUP])
+    q = benv.mocap_qpos[GETUP, glen - 1]
+    v = benv.mocap_qvel[GETUP, glen - 1]
+    states, _ = jax.jit(jax.vmap(benv.reset))(
+        jax.random.split(jax.random.PRNGKey(0), n))
+    states = states._replace(
+        qpos=jnp.broadcast_to(q, (n,) + q.shape),
+        qvel=jnp.broadcast_to(v, (n,) + v.shape),
+        motion_id=jnp.full(n, GETUP, jnp.int32),
+        n_steps=jnp.full(n, glen - 1, jnp.int32))
+    prev_motion = states.motion_id
+    new_states, out = jax.jit(jax.vmap(
+        benv.step_auto_reset, in_axes=(0, 0, None)))(
+        states, jnp.zeros((n, benv.action_size)), buf)
+    mask = benv.handoff_capture_mask(prev_motion, out)
+    assert bool(mask.any()), "timer exit from GETUP must capture"
+    buf = benv.update_handoff_buffer(
+        buf, mask, new_states.qpos, new_states.qvel,
+        states.player_action, out.motion_id)
+    k = int(mask.sum())
+    assert int(buf.count) == k and int(buf.head) == k % 16
+    first = int(np.flatnonzero(np.asarray(mask))[0])
+    np.testing.assert_array_equal(np.asarray(buf.qpos[0]),
+                                  np.asarray(new_states.qpos[first]))
+    assert int(buf.motion[0]) == RUN
+
+    # with frac=1.0 and a non-empty buffer, resets draw from it
+    rs = jax.vmap(lambda key: benv._reset_state(key, buf))(
+        jax.random.split(jax.random.PRNGKey(1), 32))
+    assert (np.asarray(rs.motion_id) == RUN).all()
+    assert (np.asarray(rs.n_steps) == 1).all()
+    # every reset qpos equals some captured buffer row
+    rq = np.asarray(rs.qpos)
+    bq = np.asarray(buf.qpos[:k])
+    dists = np.abs(rq[:, None, :] - bq[None, :, :]).max(-1).min(-1)
+    np.testing.assert_allclose(dists, 0.0, atol=0.0)
+
+    # empty buffer never samples (falls back to standard RSI)
+    empty = benv.make_handoff_buffer(capacity=16)
+    rs2 = jax.vmap(lambda key: benv._reset_state(key, empty))(
+        jax.random.split(jax.random.PRNGKey(2), 32))
+    assert (np.asarray(rs2.motion_id) != RUN).all() or \
+        (np.asarray(rs2.n_steps) != 1).any()
+
+
+def test_ppo_handoff_buffer_train_iter():
+    """One jitted PPO iteration on the combined env with the handoff
+    buffer armed: compiles, runs, and threads the buffer through the
+    rollout carry (count is monotone nondecreasing)."""
+    from deepmimic_mujoco_tpu.envs.config import DPCombinedEnvConfig
+    from deepmimic_mujoco_tpu.rl import PPO, PPOConfig
+
+    cfg = DPCombinedEnvConfig(HANDOFF_BUFFER_FRAC=0.5)
+    benv = DPCombinedEnv(cfg=cfg, iterations=10)
+    ppo = PPO(benv, PPOConfig(n_envs=8, horizon=4, minibatch_size=32,
+                              epochs=2, total_timesteps=64,
+                              handoff_buffer_cap=32))
+    ts = ppo.init(seed=0)
+    assert ts.handoff_buf is not None
+    ts2, stats = ppo._train_iter(ts)
+    assert stats.handoff_count is not None
+    assert int(stats.handoff_count) >= 0
+    assert np.isfinite(float(stats.mean_reward))
