@@ -25,6 +25,30 @@ REFERENCE_STEPS_PER_SEC = 1390.0       # DPEnv, 32 procs
 REFERENCE_COMBINED_STEPS_PER_SEC = 109.0  # DPCombinedEnv, 32 procs
 
 
+# bf16 matmul peak of the chip (TFLOP/s) for the utilization estimate;
+# v5e ("TPU v5 lite") is 197 TFLOP/s bf16. Unknown chips report flops/s
+# only. The physics step is mostly fp32 VPU work, so this fraction is a
+# LOWER bound on how far we are from any speed-of-light — it is meant
+# to make "how much headroom remains" quantitative across rounds, not
+# to be a precise MFU.
+_PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
+
+
+def _xla_flops(fn, *args):
+    """XLA's own flop estimate for the compiled program (0 if the
+    backend does not report one). Cost analysis counts a while/scan
+    body ONCE; callers multiply by the trip count."""
+    try:
+        import jax
+
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        return 0.0
+
+
 def _bench(fn, *args):
     """Compile + time one repetition of a jitted closure."""
     import jax
@@ -69,7 +93,24 @@ def bench_env_steps(env, n_envs, n_steps, policy=False, seed=0):
 
     run = jax.jit(rollout)
     dt, compile_s = _bench(run, states, obs, jax.random.PRNGKey(2))
-    return n_envs * n_steps / dt, compile_s
+
+    # one-step program flops (the scan body), for the utilization line
+    def one_step(states, obs, key):
+        (states, obs, key), r = body_step(states, obs, key)
+        return r
+
+    def body_step(states, obs, key):
+        key, sub = jax.random.split(key)
+        if policy:
+            actions, _, _ = jax.vmap(lambda o: net.apply(params, o))(obs)
+        else:
+            actions = 0.1 * jax.random.normal(
+                sub, (n_envs, env.action_size), jnp.float32)
+        states, out = jax.vmap(env.step_auto_reset)(states, actions)
+        return (states, out.obs, key), out.reward.mean()
+
+    flops_step = _xla_flops(one_step, states, obs, jax.random.PRNGKey(2))
+    return n_envs * n_steps / dt, compile_s, flops_step
 
 
 def bench_train(n_envs, horizon, n_iters=4):
@@ -173,36 +214,49 @@ def main():
 
     device = str(jax.devices()[0])
 
-    def emit(metric, sps, compile_s, baseline, **kw):
-        print(json.dumps({
+    peak = 0.0
+    for kind, tf in _PEAK_BF16_TFLOPS.items():
+        if kind in device:
+            peak = tf
+            break
+
+    def emit(metric, sps, compile_s, baseline, flops_step=0.0, **kw):
+        d = {
             "metric": metric, "value": round(float(sps), 1),
             "unit": "env-steps/s",
             "vs_baseline": round(float(sps) / baseline, 2),
             "n_envs": n_envs, "compile_seconds": round(compile_s, 1),
-            "device": device, **kw}), flush=True)
+            "device": device, **kw}
+        if flops_step > 0:
+            # achieved flops/s = flops of one batched step x steps/s/batch
+            tfs = flops_step * (float(sps) / n_envs) / 1e12
+            d["xla_tflops_per_sec"] = round(tfs, 3)
+            if peak:
+                d["util_vs_bf16_peak"] = round(tfs / peak, 4)
+        print(json.dumps(d), flush=True)
 
     env = DPEnv(motion="walk", robot="humanoid3d")
-    sps, comp = bench_env_steps(env, n_envs, n_steps)
+    sps, comp, fl = bench_env_steps(env, n_envs, n_steps)
     emit("env_steps_per_sec_per_chip_humanoid3d_walk", sps, comp,
-         REFERENCE_STEPS_PER_SEC, n_steps=n_steps)
+         REFERENCE_STEPS_PER_SEC, fl, n_steps=n_steps)
     if os.environ.get("BENCH_DRIVER_ONLY") == "1":
         return
 
     env_g1 = DPEnv(motion="run", robot="unitree_g1")
-    sps, comp = bench_env_steps(env_g1, n_envs, n_steps)
+    sps, comp, fl = bench_env_steps(env_g1, n_envs, n_steps)
     emit("env_steps_per_sec_per_chip_g1_run", sps, comp,
-         REFERENCE_STEPS_PER_SEC)
+         REFERENCE_STEPS_PER_SEC, fl)
 
     from deepmimic_mujoco_tpu.envs.combined_env import DPCombinedEnv
 
     env_c = DPCombinedEnv()
-    sps, comp = bench_env_steps(env_c, n_envs, n_steps)
+    sps, comp, fl = bench_env_steps(env_c, n_envs, n_steps)
     emit("env_steps_per_sec_per_chip_combined", sps, comp,
-         REFERENCE_COMBINED_STEPS_PER_SEC)
+         REFERENCE_COMBINED_STEPS_PER_SEC, fl)
 
-    sps, comp = bench_env_steps(env, n_envs, n_steps, policy=True)
+    sps, comp, fl = bench_env_steps(env, n_envs, n_steps, policy=True)
     emit("policy_env_steps_per_sec_per_chip_humanoid3d_walk", sps, comp,
-         REFERENCE_STEPS_PER_SEC)
+         REFERENCE_STEPS_PER_SEC, fl)
 
     tr_envs, tr_hor = (2048, 64) if not small else (64, 8)
     sps, comp = bench_train(n_envs=tr_envs, horizon=tr_hor)

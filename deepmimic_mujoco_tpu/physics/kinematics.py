@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from deepmimic_mujoco_tpu.models.physics_model import FREE, PhysicsModel
@@ -145,8 +146,13 @@ def com_pos(m: PhysicsModel, kin: Kin) -> Com:
     mass = jnp.asarray(m.body_mass, dtype)
     D = jnp.asarray(t.descendants, dtype)
 
-    sub_mass = D @ mass
-    sub_mom = D @ (mass[:, None] * kin.xipos)
+    # HIGHEST: default matmul precision rounds inputs to bf16 on the
+    # TPU MXU — measured up to 3.4e-2 abs error in cinert vs the CPU
+    # path (round-5 lanes diagnosis, runs/q_r5_lanes_diag.log). These
+    # are tiny matmuls; exactness costs nothing here.
+    _hi = jax.lax.Precision.HIGHEST
+    sub_mass = jnp.matmul(D, mass, precision=_hi)
+    sub_mom = jnp.matmul(D, mass[:, None] * kin.xipos, precision=_hi)
     subtree_com = sub_mom / jnp.maximum(sub_mass, 1e-12)[:, None]
 
     anchor = subtree_com[m.body_rootid]  # (nbody, 3)
@@ -156,7 +162,9 @@ def com_pos(m: PhysicsModel, kin: Kin) -> Com:
     diag = diag.at[:, 0, 0].set(inertia_diag[:, 0])
     diag = diag.at[:, 1, 1].set(inertia_diag[:, 1])
     diag = diag.at[:, 2, 2].set(inertia_diag[:, 2])
-    inertia_com = kin.ximat @ diag @ jnp.swapaxes(kin.ximat, -1, -2)
+    inertia_com = jnp.matmul(
+        jnp.matmul(kin.ximat, diag, precision=_hi),
+        jnp.swapaxes(kin.ximat, -1, -2), precision=_hi)
     cinert = spatial.inertia_matrix(mass, inertia_com, kin.xipos - anchor)
 
     # cdof: free root (6 rows) + hinges (1 row each), dof order
@@ -197,9 +205,12 @@ def com_vel(m: PhysicsModel, com: Com, qvel: jnp.ndarray):
     """
     dtype = qvel.dtype
     t = tree_tables(m)
+    _hi = jax.lax.Precision.HIGHEST  # bf16 MXU rounding (see com_pos)
     wv = com.cdof * qvel[:, None]                        # (nv, 6)
-    cvel = jnp.asarray(t.body_dof_path, dtype) @ wv      # (nbody, 6)
-    vseen = jnp.asarray(t.dof_seen, dtype) @ wv          # (nv, 6)
+    cvel = jnp.matmul(jnp.asarray(t.body_dof_path, dtype), wv,
+                      precision=_hi)                     # (nbody, 6)
+    vseen = jnp.matmul(jnp.asarray(t.dof_seen, dtype), wv,
+                       precision=_hi)                    # (nv, 6)
     cdof_dot = spatial.motion_cross(vseen, com.cdof)
     cdof_dot = cdof_dot * (1.0 - jnp.asarray(t.dof_free_trans, dtype))[:, None]
     return cvel, cdof_dot

@@ -4,6 +4,7 @@ Vectors are ordered [angular(3); linear(3)] (engine convention for
 cvel/cdof/cacc). All functions are jnp, branchless, and broadcast over
 leading batch dimensions.
 """
+import jax
 import jax.numpy as jnp
 
 
@@ -33,7 +34,10 @@ def inertia_matrix(mass, inertia_com, r):
     """
     rx = skew(r)
     m = mass[..., None, None]
-    top_left = inertia_com - m * (rx @ rx)
+    # HIGHEST: default TPU matmul rounds inputs to bf16 (see
+    # physics/step.py:_hi_matmul); 3x3, so exactness is free.
+    top_left = inertia_com - m * jnp.matmul(
+        rx, rx, precision=jax.lax.Precision.HIGHEST)
     top_right = m * rx
     bottom_left = -m * rx
     eye = jnp.broadcast_to(jnp.eye(3, dtype=inertia_com.dtype), rx.shape)

@@ -14,6 +14,8 @@ reference: src/deepmimic_env.py:362):
 """
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -47,6 +49,22 @@ class EngineData(NamedTuple):
     lam: jnp.ndarray             # (3*max_contacts + nlimit,) solver forces
 
 
+def _hi_matmul(fn):
+    """Trace ``fn`` under ``default_matmul_precision('highest')``.
+
+    TPU MXU matmuls round their INPUTS to bf16 at default precision —
+    measured up to 3.4e-2 abs error in com-stage quantities and bf16
+    rounding of every one-hot contact gather vs the CPU path (round-5
+    diagnosis, runs/q_r5_lanes_diag.log). Physics matmuls here are
+    tiny (nv- and contact-sized), so exactness is free; the RL network
+    matmuls are outside this scope and keep the fast default."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def _neutral_qpos(model: PhysicsModel) -> np.ndarray:
     q = np.zeros(model.nq)
     if model.njnt and model.jnt_type[0] == FREE:
@@ -61,7 +79,8 @@ class Engine:
                  integrator: Optional[int] = None,
                  warm_start_lam: bool = True,
                  mesh_subcapsules: int = 2,
-                 cone: str = "elliptic"):
+                 cone: str = "elliptic",
+                 lanes_position: bool = True):
         self.m = model
         self.max_contacts = max_contacts
         self.iterations = iterations if iterations is not None \
@@ -116,14 +135,29 @@ class Engine:
         # cone the reference ran under, for parity quantification; see
         # docs/ARCHITECTURE.md "Cone approximation").
         self.cone = cone
+        # Env-in-lanes FK/com under vmap (physics/lanes.py): same
+        # formulas with the env axis in TPU lanes — the per-env layout
+        # tiles (B, L, 3/4) intermediates to >95%-padding blocks and
+        # cost 7.6 ms of the 21.1 ms G1 step at batch 4096 (round-4
+        # stage profile). Single-env calls keep the original path.
+        self.lanes_position = lanes_position
+        if lanes_position:
+            from deepmimic_mujoco_tpu.physics.lanes import make_position_fn
+
+            self._pos_fn = make_position_fn(model)
 
     # ---- stages -------------------------------------------------------
+    @_hi_matmul
     def position_stage(self, qpos):
-        kin = fwd_kinematics(self.m, qpos)
-        com = com_pos(self.m, kin)
+        if self.lanes_position:
+            kin, com = self._pos_fn(qpos)
+        else:
+            kin = fwd_kinematics(self.m, qpos)
+            com = com_pos(self.m, kin)
         contacts = collide(self.m, self.tables, kin, self.max_contacts)
         return kin, com, contacts
 
+    @_hi_matmul
     def forward(self, qpos, qvel, ctrl, h_implicit: float = 0.0,
                 lam0=None) -> EngineData:
         """Full dynamics: qacc under current state + control.
@@ -281,6 +315,7 @@ class Engine:
         qpos_new = self.integrate_pos(qpos, qvel_new, h)
         return qpos_new, qvel_new, d
 
+    @_hi_matmul
     def data_view(self, qpos, qvel) -> EngineData:
         """Position+velocity stage fields only (no dynamics), mirroring
         what the reference exposes after ``set_state``+``forward``."""

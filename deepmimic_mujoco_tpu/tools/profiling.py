@@ -151,6 +151,80 @@ def solve_breakdown(env, batch: int = 4096):
     return rows
 
 
+def train_breakdown(env, n_envs: int = 2048, horizon: int = 64,
+                    epochs: int = 20, minibatch: int = 4096):
+    """PPO iteration phase breakdown (VERDICT r4 #4): rollout,
+    rollout+GAE, and the epoch update loop — measured as full jitted
+    iterations at different epoch counts, so the per-epoch cost (the
+    minibatch gather + grad + adam scan) falls out of the slope.
+
+    Reference hyperparams being profiled: 20 epochs / minibatch 4096
+    (src/sb3_ppo.py:253-265)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_mujoco_tpu.rl import networks
+    from deepmimic_mujoco_tpu.rl.ppo import PPO, PPOConfig
+
+    def make(e):
+        cfg = PPOConfig(n_envs=n_envs, horizon=horizon, epochs=e,
+                        minibatch_size=minibatch)
+        ppo = PPO(env, cfg)
+        return ppo, ppo.init(0)
+
+    rows = []
+    B = n_envs * horizon
+
+    # pure rollout (policy sample + env step + obs), no GAE/update
+    net = networks.ActorCritic(env.action_size)
+    params = net.init(jax.random.PRNGKey(1), jnp.zeros(env.obs_size))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_envs)
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+
+    def rollout(states, obs, key):
+        def body(carry, _):
+            states, obs, key = carry
+            key, akey = jax.random.split(key)
+            mean, log_std, value = net.apply(params, obs)
+            action, logp = networks.sample_action(akey, mean, log_std)
+            states, out = jax.vmap(env.step_auto_reset)(states, action)
+            return (states, out.obs, key), (out.reward, out.done, value,
+                                            logp)
+        carry, traj = jax.lax.scan(body, (states, obs, key), None,
+                                   length=horizon)
+        return jax.tree.map(lambda x: x.sum(), traj)
+
+    dt_roll = _bench(jax.jit(rollout), states, obs, jax.random.PRNGKey(2))
+    rows.append(("rollout only", dt_roll * 1e3, B / dt_roll))
+
+    dts = {}
+    for e in (1, epochs):
+        ppo, ts = make(e)
+        out = ppo._train_iter(ts)
+        jax.block_until_ready(out[1].approx_kl)
+        ts = out[0]
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            ts, st = ppo._train_iter(ts)
+        jax.block_until_ready(st.approx_kl)
+        dts[e] = (time.time() - t0) / iters
+        rows.append((f"full iter ({e} epochs)", dts[e] * 1e3, B / dts[e]))
+
+    per_epoch = (dts[epochs] - dts[1]) / max(epochs - 1, 1)
+    gae_flat = dts[1] - dt_roll - per_epoch
+    rows.append(("per epoch (slope)", per_epoch * 1e3, B / per_epoch))
+    rows.append(("GAE+flatten (residual)", gae_flat * 1e3,
+                 B / max(gae_flat, 1e-9)))
+    n_mb = max(B // minibatch, 1)
+    rows.append((f"per minibatch ({n_mb}/epoch)",
+                 per_epoch / n_mb * 1e3, 0.0))
+    for name, ms, sps in rows:
+        print(f"{name:>24}: {ms:8.2f} ms ({sps:12,.0f} env-steps/s)",
+              flush=True)
+    return rows
+
+
 def throughput_sweep(env, batches=(64, 256, 1024, 4096), steps: int = 64):
     import jax
     import jax.numpy as jnp
@@ -232,7 +306,9 @@ def plot_results(rows, path: str, kind: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="stages",
-                   choices=["stages", "solve", "sweep", "trace"])
+                   choices=["stages", "solve", "sweep", "trace", "train"])
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--horizon", type=int, default=64)
     p.add_argument("--env", default="deep_mimic_mujoco",
                    choices=["deep_mimic_mujoco", "dp_combined_env"])
     p.add_argument("--motion", default="walk")
@@ -252,6 +328,9 @@ def main(argv=None):
             plot_results(rows, args.plot, "stages")
     elif args.mode == "solve":
         solve_breakdown(env, args.batch)
+    elif args.mode == "train":
+        train_breakdown(env, n_envs=args.batch, horizon=args.horizon,
+                        epochs=args.epochs)
     elif args.mode == "sweep":
         rows = throughput_sweep(env)
         if args.plot:

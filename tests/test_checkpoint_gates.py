@@ -79,13 +79,19 @@ def _episode_reward(ckpt, motion, robot, idx_init, max_steps=1000,
             state = jax.tree.map(
                 lambda a, b: jnp.where(alive, a, b), nstate, state)
             obs = jnp.where(alive, out.obs, obs)
-            return (state, obs, nalive), r
+            # contact-slot saturation while the policy is alive: top-K
+            # dropping an active contact silently changes dynamics, so
+            # a gate replay must also certify the episode ran lossless
+            ov = out.contact_overflow * alive.astype(jnp.int32)
+            return (state, obs, nalive), (r, ov)
 
-        _, rews = jax.lax.scan(body, (state0, obs0, jnp.ones((), bool)),
-                               None, length=max_steps)
-        return rews.sum()
+        _, (rews, ovs) = jax.lax.scan(
+            body, (state0, obs0, jnp.ones((), bool)), None,
+            length=max_steps)
+        return rews.sum(), ovs.max()
 
-    return float(episode(jax.random.PRNGKey(0)))
+    rew, ov = episode(jax.random.PRNGKey(0))
+    return float(rew), int(ov)
 
 
 @pytest.mark.parametrize("ckpt,motion,robot,idx,min_rew,env_kwargs",
@@ -94,10 +100,14 @@ def test_checkpoint_gate(ckpt, motion, robot, idx, min_rew, env_kwargs):
     path = os.path.join(_REPO, ckpt)
     if not os.path.isdir(path):
         pytest.skip(f"checkpoint not committed yet: {ckpt}")
-    rew = _episode_reward(path, motion, robot, idx,
-                          env_kwargs=env_kwargs)
+    rew, overflow = _episode_reward(path, motion, robot, idx,
+                                    env_kwargs=env_kwargs)
     assert rew > min_rew, (
         f"{motion}/{robot} gate failed: ep_rew {rew:.2f} <= {min_rew}")
+    assert overflow == 0, (
+        f"{motion}/{robot} gate episode dropped {overflow} active "
+        "contacts (top-K slot saturation) — raise max_contacts or fix "
+        "collision compaction; the replayed dynamics were lossy")
 
 
 # Combined-env gate checkpoints, most-preferred first: (path, min
