@@ -38,12 +38,14 @@ GATES = [
     ("runs/walk_test20260817-1918_14_videos/walk_test20260817-1918_14_best",
      "walk", "humanoid3d", 20, 90.0, {"integrator": RK4}),  # 655.2
     # G1 run gate (reference: src/play_g1_run_polar_breeze.py:50):
-    # round-2 checkpoint (116.39 at commit), pinned to the round-1/2
-    # engine semantics it was trained under while the new-semantics
-    # rebuild trains.
-    ("runs/run_test20260817-0507_52_videos/run_test20260817-0507_52_best",
-     "run", "unitree_g1", 20, 90.0,
-     {"warm_start_lam": False, "mesh_subcapsules": 1}),
+    # EMPTY kwargs = current engine defaults (pair-keyed warm start +
+    # mesh_subcapsules=2). Round-5 contact-dynamics curriculum: the
+    # round-2 gait (trained under cold-start/1-subcapsule semantics,
+    # replays 2.3 under the new defaults) fine-tuned for ~30M steps
+    # under the default engine — replay 95.96 at commit
+    # (runs/q_r5_replay_newft.log; leg log q_r5_run_default_ft.log).
+    ("runs/run_r5_default_gate",
+     "run", "unitree_g1", 20, 90.0, {}),
     # G1 facedown getup — the third behavior the reference demonstrates
     # from a committed checkpoint ("PRETTY TOTEM 70",
     # src/play_g1_facedown_slow_pretty_totem.py:9-28, idx_init=0).
