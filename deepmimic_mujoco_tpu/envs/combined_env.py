@@ -262,12 +262,21 @@ class DPCombinedEnv:
             motion_id = jnp.where(pick_handoff, GETUP, motion_id
                                   ).astype(jnp.int32)
             n_steps = jnp.where(pick_handoff, handoff_steps, n_steps)
+        if cfg.FACEDOWN_RSI_FRAC > 0.0:
+            k7, _ = jax.random.split(k4)
+            pick_fd = jax.random.bernoulli(k7, cfg.FACEDOWN_RSI_FRAC)
+            motion_id = jnp.where(pick_fd, GETUP, motion_id
+                                  ).astype(jnp.int32)
+            n_steps = jnp.where(pick_fd, 0, n_steps)
         pa = jnp.asarray(PA_WALK, jnp.int32)
         if cfg.RSI_RANDOM_PA:
             pa = jnp.where(jax.random.bernoulli(k6), PA_RUN, PA_WALK
                            ).astype(jnp.int32)
         idx = n_steps.astype(jnp.int32) % self.motion_lengths[motion_id]
         qpos, qvel, _, _ = self._mocap_at(motion_id, idx)
+        if cfg.FACEDOWN_RSI_FRAC > 0.0:
+            # the fall state is motionless: zero the clip velocity
+            qvel = jnp.where(pick_fd, jnp.zeros_like(qvel), qvel)
         n_steps = n_steps.astype(jnp.int32)
         if handoff_buf is not None and cfg.HANDOFF_BUFFER_FRAC > 0.0:
             kb1, kb2 = jax.random.split(key)

@@ -121,3 +121,12 @@ class DPCombinedEnvConfig:
     # covers the true off-clip state distribution at the handoff —
     # the round-2/4 failure mode is dying exactly there.
     HANDOFF_BUFFER_FRAC: float = 0.0
+    # fraction of resets at the getup clip's FIRST frame with ZERO
+    # velocity — exactly the state an injected/real fall produces.
+    # Plain getup-RSI lands mostly mid-clip (already partially up);
+    # round-5 instrumentation (runs/q_r5_handoff_diag.log) showed the
+    # combined policy lying flat through the whole getup window from
+    # this state while the dedicated getup policy (trained from frame
+    # 0) recovers — this makes the combined policy practice the same
+    # thing.
+    FACEDOWN_RSI_FRAC: float = 0.0

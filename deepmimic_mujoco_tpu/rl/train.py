@@ -109,6 +109,10 @@ def parse_reason(argv=None, required=True):
                         "at GETUP->locomotion transitions during "
                         "rollout)")
     p.add_argument("--handoff-buffer-cap", type=int, default=4096)
+    p.add_argument("--facedown-rsi", type=float, default=0.0,
+                   help="fraction of combined-env resets at getup "
+                        "frame 0 with zero velocity (the injected-"
+                        "fall state) so full-recovery is practiced")
     args = p.parse_args(argv)
     if required and not args.reason and not args.no_wandb:
         raise ValueError("Please provide a reason for this run")
@@ -136,7 +140,8 @@ def main(argv=None):
                     speed=args.speed, **eng_kw)
     else:
         ccfg = None
-        if args.handoff_rsi or args.rsi_random_pa or args.handoff_buffer:
+        if (args.handoff_rsi or args.rsi_random_pa or args.handoff_buffer
+                or args.facedown_rsi):
             from deepmimic_mujoco_tpu.envs.config import (
                 DPCombinedEnvConfig,
             )
@@ -144,7 +149,8 @@ def main(argv=None):
             ccfg = DPCombinedEnvConfig(
                 HANDOFF_RSI_FRAC=args.handoff_rsi,
                 RSI_RANDOM_PA=args.rsi_random_pa,
-                HANDOFF_BUFFER_FRAC=args.handoff_buffer)
+                HANDOFF_BUFFER_FRAC=args.handoff_buffer,
+                FACEDOWN_RSI_FRAC=args.facedown_rsi)
         env = DPCombinedEnv(cfg=ccfg, **eng_kw)
 
     if args.preset == "legacy-ppo2":

@@ -104,9 +104,18 @@ def main(argv=None):
             if mid == TO_GETUP:
                 saw_to_getup = True
             elif mid in (WALK, RUN) and last_motion == GETUP and saw_to_getup:
-                cycles += 1
-                saw_to_getup = False
-                print(f"step {i}: recovery cycle #{cycles} complete")
+                # the getup->loco switch fires on a TIMER; only count a
+                # recovery if the robot is actually up (root z: G1
+                # standing ~0.79, lying ~0.1 — see the honest-cycle fix
+                # in tests/test_checkpoint_gates.py, round 5)
+                if float(state.qpos[2]) > 0.5:
+                    cycles += 1
+                    saw_to_getup = False
+                    print(f"step {i}: recovery cycle #{cycles} complete")
+                else:
+                    print(f"step {i}: getup timer expired NOT up "
+                          f"(root z {float(state.qpos[2]):.2f}) — "
+                          "not counted as a recovery")
             last_motion = mid
         if args.video and i % 4 == 0:
             from deepmimic_mujoco_tpu.tools.render import render_state

@@ -41,9 +41,10 @@ GATES = [
     # EMPTY kwargs = current engine defaults (pair-keyed warm start +
     # mesh_subcapsules=2). Round-5 contact-dynamics curriculum: the
     # round-2 gait (trained under cold-start/1-subcapsule semantics,
-    # replays 2.3 under the new defaults) fine-tuned for ~30M steps
-    # under the default engine — replay 95.96 at commit
-    # (runs/q_r5_replay_newft.log; leg log q_r5_run_default_ft.log).
+    # replays 2.3 under the new defaults) fine-tuned for ~170M steps
+    # under the default engine — replay 123.79 at commit, above the
+    # old-semantics 116.4 (runs/q_r5_replay_newft.log; leg log
+    # q_r5_run_default_ft.log).
     ("runs/run_r5_default_gate",
      "run", "unitree_g1", 20, 90.0, {}),
     # G1 facedown getup — the third behavior the reference demonstrates
@@ -113,18 +114,26 @@ def test_checkpoint_gate(ckpt, motion, robot, idx, min_rew, env_kwargs):
 
 
 # Combined-env gate checkpoints, most-preferred first: (path, min
-# reward, min episode length, min recovery cycles). The cycle
-# requirement only arms on checkpoints trained to survive the
-# getup->RUN handoff; the round-2 checkpoint predates that training
-# (cycle probe: completes 1 cycle, then dies on a run handoff).
-# Episodes run 2000 steps (the combined env's MAX_EP_LENGTH).
-# Measured on the round-4 checkpoint (seed 0): clean 92.6 / len 1692 /
-# 1 natural recovery cycle; under injected falls it recovers once and
-# dies at the getup->locomotion handoff of the second fall — the cycle
-# threshold is 1 until a handoff-mastering policy lands (the
-# handoff-heavy continuation leg is queued; raise to 2 with it).
+# reward, min episode length, min recovery cycles). Episodes run 2000
+# steps (the combined env's MAX_EP_LENGTH).
+#
+# Cycle accounting is HONEST as of round 5: the getup->loco switch
+# fires on a timer, so a completed cycle additionally requires the
+# robot to actually be up at the switch (root z > 0.5) — round-4's
+# "1 recovery cycle" was a policy lying flat through the getup window
+# being credited by the timeout (runs/q_r5_handoff_diag.log). Under
+# honest accounting the round-4 checkpoint measures clean 92.6 /
+# len 1692 / 0 real cycles (runs/q_r5_cycles_honest.log); the cycle
+# bar arms (target >= 2) once the facedown-curriculum leg
+# (--facedown-rsi, runs/q_r5_combined_facedown.log) produces a policy
+# that genuinely gets up after an injected fall.
 _COMBINED_GATES = [
-    ("runs/combined_r4_best", 70.0, 1500, 1),
+    # round-5 hbuf policy (on-policy handoff buffer leg): clean 154.2
+    # over the FULL 2000-step cap (the round-4 in-train eval that
+    # reported 91 capped episodes at 1000 steps and undersold it);
+    # measured in runs/q_r5_cycles_honest.log.
+    ("runs/combined_r5_best", 100.0, 1900, 0),
+    ("runs/combined_r4_best", 70.0, 1500, 0),
     ("runs/walk_test20260817-0951_50_videos/"
      "walk_test20260817-0951_50_best", 40.0, 900, 0),
 ]
@@ -181,8 +190,17 @@ def test_combined_env_gate():
             prev, cur = state.motion_id, nstate.motion_id
             changed = (cur != prev) & alive
             saw_tg = saw_tg | (changed & (cur == TO_GETUP))
+            # a REAL recovery requires the robot to actually be up at
+            # the getup -> locomotion switch: the switch itself fires
+            # on a TIMER (reference quirk, src/combined_env.py:400-403)
+            # and round-5 instrumentation (runs/q_r5_handoff_diag.log)
+            # caught a policy lying flat through the whole getup window
+            # being credited with a "completed cycle" by the timeout.
+            # Root z: G1 standing ~0.79, lying ~0.1.
+            is_up = nstate.qpos[2] > 0.5
             completed = (changed & (prev == GETUP)
-                         & ((cur == WALK) | (cur == RUN)) & saw_tg)
+                         & ((cur == WALK) | (cur == RUN)) & saw_tg
+                         & is_up)
             cycles = cycles + completed.astype(jnp.int32)
             saw_tg = saw_tg & ~completed
             r = out.reward * alive.astype(out.reward.dtype)
@@ -207,6 +225,56 @@ def test_combined_env_gate():
         _, _, cycles = episode(jax.random.PRNGKey(0), jnp.asarray(True))
         assert int(cycles) >= min_cycles, (
             f"combined gate: {int(cycles)} recovery cycles < {min_cycles}")
+
+
+def test_extracted_policy_gate():
+    """The numpy deployment artifact (reference pattern:
+    src/extracted_policy.py + src/play_extracted.py) must pass the
+    same reward gate as its source checkpoint: golden-vector
+    self-test, then a full 1000-step episode with the artifact's
+    weights under default engine semantics (reference gate:
+    src/play_g1_run_polar_breeze.py:50)."""
+    from deepmimic_mujoco_tpu.rl.extracted_policy import ExtractedPolicy
+
+    path = os.path.join(_REPO, "runs/run_extracted.npz")
+    if not os.path.exists(path):
+        pytest.skip("no extracted artifact committed")
+    pol = ExtractedPolicy(path)
+    assert pol.test()
+    assert pol.pd is None  # run policy is a torque policy
+
+    env = DPEnv(motion="run", robot="unitree_g1")
+    layers = [(jnp.asarray(w, jnp.float32), jnp.asarray(b, jnp.float32))
+              for w, b in pol.layers]
+
+    def act(obs):
+        x = obs
+        for i, (w, b) in enumerate(layers):
+            x = x @ w + b
+            if i < len(layers) - 1:
+                x = jnp.tanh(x)
+        return x
+
+    @jax.jit
+    def episode(key):
+        state0, obs0 = env.reset(key, idx_init=20)
+
+        def body(carry, _):
+            state, obs, alive = carry
+            nstate, out = env.step(state, act(obs))
+            r = out.reward * alive.astype(out.reward.dtype)
+            nalive = alive & ~out.done
+            state = jax.tree.map(
+                lambda a, b: jnp.where(alive, a, b), nstate, state)
+            obs = jnp.where(alive, out.obs, obs)
+            return (state, obs, nalive), r
+
+        _, rews = jax.lax.scan(body, (state0, obs0, jnp.ones((), bool)),
+                               None, length=1000)
+        return rews.sum()
+
+    rew = float(episode(jax.random.PRNGKey(0)))
+    assert rew > 90.0, f"extracted run gate: ep_rew {rew:.2f}"
 
 
 def test_sac_gate():
